@@ -1,0 +1,278 @@
+"""Quantization, RDO, symbol mapping and histograms (JAX, TPU-native).
+
+Re-implements the reference quantization layer bit-exactly:
+
+* ``Quantizer``        — dead-zone quantizer, reference src/quant.rs:57-146
+* ``FastQuantizer``    — magic-number division, reference src/quant.rs:171-332
+* ``AnalyticalRDO``    — closed-form Laplacian RDO, reference src/quant.rs:377-505
+* ``to_symbols``/``from_symbols`` — zigzag mapping incl. the u8 wrap quirk,
+  reference src/quant.rs:547-590
+* ``build_histogram``  — 256-bin histogram, reference src/quant.rs:594-600
+
+Device functions (``quantize``, ``dequantize``, ``to_symbols``,
+``from_symbols``, ``build_histogram``) are jittable jnp ops.  The host
+classes (``Quantizer`` etc.) mirror the reference's object API and defer to
+the same arithmetic.
+
+TPU note: the reference's magic-number division is an x86 ``idiv``
+workaround.  The Granlund–Montgomery round-up magic number used by the
+reference (shift = 32 + ceil(log2(step)), reciprocal = ceil(2^shift/step))
+is *exact* for all u32 inputs, so on device we use plain integer division —
+it produces bit-identical results (the reference's own oracle test asserts
+this equivalence, src/quant.rs:848-864).  ``FastQuantizer.quantize`` below
+still evaluates the literal magic-number arithmetic (in uint64 NumPy) so the
+equivalence is independently testable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import SubBand3D
+from ..errors import InvalidQuantStep
+
+__all__ = [
+    "quantize",
+    "dequantize",
+    "to_symbols",
+    "from_symbols",
+    "build_histogram",
+    "Quantizer",
+    "FastQuantizer",
+    "AnalyticalRDO",
+    "quantize_subband",
+    "dequantize_subband",
+]
+
+
+# ── Device (jnp) primitives ─────────────────────────────────────
+
+
+def quantize(values: jnp.ndarray, step, dead_zone) -> jnp.ndarray:
+    """Dead-zone quantize int32 coefficients.
+
+    values in (-dead_zone, dead_zone) → 0; otherwise
+    ``sign(v) * ((|v| - dead_zone/2) / step)`` with truncating division,
+    matching reference src/quant.rs:89-97 exactly (Rust ``/`` truncates
+    toward zero; both branches reduce to this abs form).
+    """
+    v = values.astype(jnp.int32)
+    step = jnp.asarray(step, jnp.int32)
+    dead_zone = jnp.asarray(dead_zone, jnp.int32)
+    av = jnp.abs(v)
+    # (av - dz/2) >= 0 whenever av >= dz, so floor == trunc on the live lane.
+    q = (av - (dead_zone >> 1)) // step
+    return jnp.where(av < dead_zone, 0, jnp.sign(v) * q)
+
+
+def dequantize(qvalues: jnp.ndarray, step) -> jnp.ndarray:
+    """Inverse of :func:`quantize`: ``q * step`` (reference src/quant.rs:104-110)."""
+    return qvalues.astype(jnp.int32) * jnp.asarray(step, jnp.int32)
+
+
+def to_symbols(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Zigzag signed→unsigned byte symbols: 0→0, n→2n-1, -n→2n.
+
+    Reproduces the reference's ``as u8`` wrap for |2q| > 255
+    (src/quant.rs:547-563) via an explicit mod-256 truncation.
+    """
+    c = coeffs.astype(jnp.int32)
+    s = jnp.where(c > 0, 2 * c - 1, -2 * c)
+    return (s & 0xFF).astype(jnp.uint8)
+
+
+def from_symbols(symbols: jnp.ndarray) -> jnp.ndarray:
+    """Inverse zigzag: 0→0, odd s→(s+1)/2, even s→-(s/2) (src/quant.rs:572-590)."""
+    s = symbols.astype(jnp.int32)
+    return jnp.where(s % 2 == 1, (s + 1) // 2, -(s // 2))
+
+
+def build_histogram(symbols: jnp.ndarray) -> jnp.ndarray:
+    """256-bin histogram of byte symbols, uint32 (src/quant.rs:594-600).
+
+    Works on any shape; counts all elements.  Implemented as a scatter-add
+    which XLA lowers efficiently on TPU; hot paths use the fused Pallas
+    histogram kernel instead (ops/pallas/histogram.py).
+    """
+    flat = symbols.reshape(-1).astype(jnp.int32)
+    return jnp.zeros((256,), jnp.uint32).at[flat].add(jnp.uint32(1))
+
+
+# ── Host object API (mirrors reference classes) ─────────────────
+
+
+class Quantizer:
+    """Dead-zone quantizer (reference src/quant.rs:57-146).
+
+    >>> q = Quantizer(8)
+    >>> q.quantize(20)
+    2
+    >>> q.dequantize(2)
+    16
+    """
+
+    __slots__ = ("step", "dead_zone")
+
+    def __init__(self, step: int, dead_zone: int | None = None):
+        self.step = int(step)
+        self.dead_zone = int(step if dead_zone is None else dead_zone)
+
+    @classmethod
+    def with_dead_zone(cls, step: int, dead_zone: int) -> "Quantizer":
+        return cls(step, dead_zone)
+
+    def quantize(self, value: int) -> int:
+        av = abs(value)
+        if av < self.dead_zone:
+            return 0
+        q = (av - (self.dead_zone >> 1)) // self.step
+        return -q if value < 0 else q
+
+    def dequantize(self, qvalue: int) -> int:
+        return 0 if qvalue == 0 else qvalue * self.step
+
+    def quantize_buffer(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized NumPy quantize (reference src/quant.rs:117-128)."""
+        v = np.asarray(values, np.int32)
+        av = np.abs(v)
+        q = (av - (self.dead_zone >> 1)) // np.int32(self.step)
+        return np.where(av < self.dead_zone, 0, np.sign(v) * q).astype(np.int32)
+
+    def dequantize_buffer(self, qvalues: np.ndarray) -> np.ndarray:
+        return (np.asarray(qvalues, np.int32) * np.int32(self.step)).astype(np.int32)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Quantizer(step={self.step}, dead_zone={self.dead_zone})"
+
+
+class FastQuantizer:
+    """Magic-number-division quantizer (reference src/quant.rs:171-332).
+
+    Precomputes ``reciprocal = ceil(2^(32+extra) / step)`` and divides via a
+    64-bit multiply + shift.  Bit-identical to :class:`Quantizer` for all
+    inputs (the round-up magic is exact for u32 dividends); kept for API
+    parity and as the oracle counterpart in tests.
+    """
+
+    __slots__ = ("reciprocal", "shift", "step", "dead_zone")
+
+    def __init__(self, step: int, dead_zone: int | None = None):
+        step = int(step)
+        if step <= 0:
+            raise InvalidQuantStep(step)
+        # extra_bits = 32 - leading_zeros(step as u32) = floor(log2(step)) + 1
+        extra_bits = step.bit_length()
+        self.shift = 32 + extra_bits
+        power = 1 << self.shift
+        self.reciprocal = (power + step - 1) // step  # ceil division
+        self.step = step
+        self.dead_zone = int(step if dead_zone is None else dead_zone)
+
+    @classmethod
+    def with_dead_zone(cls, step: int, dead_zone: int) -> "FastQuantizer":
+        return cls(step, dead_zone)
+
+    def _fast_div(self, x: int) -> int:
+        return ((x * self.reciprocal) >> self.shift) & 0xFFFFFFFF
+
+    def quantize(self, value: int) -> int:
+        av = abs(value)
+        if av < self.dead_zone:
+            return 0
+        adjusted = (av - (self.dead_zone >> 1)) & 0xFFFFFFFF
+        q_abs = self._fast_div(adjusted)
+        return -q_abs if value < 0 else q_abs
+
+    def dequantize(self, qvalue: int) -> int:
+        return 0 if qvalue == 0 else qvalue * self.step
+
+    def quantize_buffer(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized magic-number quantize in uint64 NumPy."""
+        v = np.asarray(values, np.int64)
+        av = np.abs(v)
+        adjusted = (av - (self.dead_zone >> 1)).astype(np.uint64)
+        prod = adjusted * np.uint64(self.reciprocal)
+        # reciprocal < 2^34 and adjusted < 2^32 can overflow u64 for huge
+        # inputs; real coefficient magnitudes keep the product in range
+        # exactly as the reference's u64 arithmetic does.
+        q = (prod >> np.uint64(self.shift)).astype(np.int64)
+        out = np.where(av < self.dead_zone, 0, np.sign(v) * q)
+        return out.astype(np.int32)
+
+    def dequantize_buffer(self, qvalues: np.ndarray) -> np.ndarray:
+        return (np.asarray(qvalues, np.int32) * np.int32(self.step)).astype(np.int32)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"FastQuantizer(step={self.step}, dead_zone={self.dead_zone})"
+
+
+class AnalyticalRDO:
+    """Closed-form rate-distortion optimizer (reference src/quant.rs:377-505).
+
+    λ_optimal = 6·ln(2)·σ² / R_target;  step = round(sqrt(12·λ)), scaled per
+    sub-band by its quantization strength, with dead-zone = 1.5×step.
+    """
+
+    __slots__ = ("target_bpp", "quality")
+
+    def __init__(self, target_bpp: float, quality: int = 75):
+        self.target_bpp = float(target_bpp)
+        self.quality = quality
+
+    @classmethod
+    def with_quality(cls, quality: int) -> "AnalyticalRDO":
+        """Quality → approximate bpp: (q/100)²·23.9 + 0.1 (src/quant.rs:398-412)."""
+        quality = min(int(quality), 100)
+        q = quality / 100.0
+        # Rust's f64::mul_add is a fused multiply-add; math.fma exists on
+        # 3.13+, otherwise the unfused form differs by at most 1 ulp.
+        fma = getattr(math, "fma", None)
+        bpp = fma(q * q, 23.9, 0.1) if fma else q * q * 23.9 + 0.1
+        return cls(bpp, quality)
+
+    @staticmethod
+    def estimate_variance(coeffs) -> float:
+        """Population variance in f64, floored at 1.0 (src/quant.rs:415-435)."""
+        c = np.asarray(coeffs, np.int64)
+        if c.size == 0:
+            return 1.0
+        inv_n = 1.0 / float(c.size)
+        mean = float(c.sum()) * inv_n
+        var = float(((c.astype(np.float64) - mean) ** 2).sum()) * inv_n
+        return max(var, 1.0)
+
+    def compute_optimal_lambda(self, variance: float) -> float:
+        return (6.0 * math.log(2.0) * variance) / self.target_bpp
+
+    def lambda_to_step(self, lam: float) -> int:
+        # libm::round rounds half away from zero, unlike Python's round().
+        step = math.sqrt(12.0 * lam)
+        return max(int(math.floor(step + 0.5)), 1)
+
+    def compute_quantizer(self, coeffs, subband: SubBand3D) -> Quantizer:
+        variance = self.estimate_variance(coeffs)
+        lam = self.compute_optimal_lambda(variance)
+        base_step = self.lambda_to_step(lam)
+        step = max(base_step * subband.quant_strength, 1)
+        dead_zone = step + step // 2
+        return Quantizer.with_dead_zone(step, dead_zone)
+
+    def compute_all_quantizers(self, subbands) -> list[Quantizer]:
+        """Quantizers for the 8 sub-bands of a 3D decomposition (src/quant.rs:472-490)."""
+        return [
+            self.compute_quantizer(coeffs, band)
+            for coeffs, band in zip(subbands, SubBand3D, strict=True)
+        ]
+
+
+def quantize_subband(coeffs, quantizer: Quantizer) -> np.ndarray:
+    """Quantize sub-band coefficients (reference src/quant.rs:518-524)."""
+    return quantizer.quantize_buffer(coeffs)
+
+
+def dequantize_subband(coeffs, quantizer: Quantizer) -> np.ndarray:
+    """Dequantize sub-band coefficients (reference src/quant.rs:531-537)."""
+    return quantizer.dequantize_buffer(coeffs)

@@ -1,0 +1,333 @@
+"""Integer lifting-scheme wavelets (1D/2D/3D) — JAX, TPU-native.
+
+Bit-exact re-implementation of the reference lifting wavelet
+(reference: src/wavelet.rs).  Filters:
+
+* CDF 9/7 — 4 lifting steps, coeffs (×2^12): -6497, -217, 3616, 1817
+  (src/wavelet.rs:66-92)
+* Haar    — [-4096, 2048] (src/wavelet.rs:96-109)
+* CDF 5/3 — [-4096, 1024] (src/wavelet.rs:113-127)
+
+Core update (src/wavelet.rs:180-217)::
+
+    delta = ((even_l + even_r) as i64 * coeff + 4096) >> 13
+
+computed here **entirely in int32** via the exact decomposition::
+
+    avg = hi*8192 + lo   (hi = avg >> 13 arithmetic, lo = avg & 8191)
+    delta = coeff*hi + ((coeff*lo + 4096) >> 13)
+
+which avoids int64 emulation on the TPU VPU while matching the i64
+arithmetic bit-for-bit (coeff*lo fits in 26 bits; coeff*hi fits whenever the
+true delta fits, i.e. for all non-overflowing inputs).
+
+Design: instead of the reference's per-row/per-column scalar loops with
+explicit gather/scatter of strided slices, transforms are expressed as
+whole-array slicing along one axis, vectorized over every other axis — one
+XLA program per axis pass, fully parallel across the VPU.  The interleaved →
+[low | high] reorder falls out of the even/odd split for free.
+
+Two inverse modes:
+
+* ``exact=False`` (default, bitstream-compat): replays lifting steps with
+  negated coefficients like the reference (src/wavelet.rs:157-176).  This is
+  only ±1-exact: when ``avg*coeff ≡ 4096 (mod 8192)`` the rounding of the
+  negated step does not cancel the forward step.  Required to reproduce
+  reference decoder output byte-for-byte.
+* ``exact=True``: subtracts the *identical* forward delta, giving guaranteed
+  perfect reconstruction for every input (a capability the reference lacks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import WaveletType
+
+__all__ = [
+    "LIFTING_STEPS",
+    "forward_1d",
+    "inverse_1d",
+    "forward_2d",
+    "inverse_2d",
+    "forward_3d",
+    "inverse_3d",
+    "Wavelet1D",
+    "Wavelet2D",
+    "Wavelet3D",
+]
+
+# (coeff, predict) pairs per filter; coeff scaled by 2^12.
+LIFTING_STEPS: dict[WaveletType, tuple[tuple[int, bool], ...]] = {
+    WaveletType.CDF97: ((-6497, True), (-217, False), (3616, True), (1817, False)),
+    WaveletType.HAAR: ((-4096, True), (2048, False)),
+    WaveletType.CDF53: ((-4096, True), (1024, False)),
+}
+
+
+def _delta(avg: jnp.ndarray, coeff: int) -> jnp.ndarray:
+    """Exact int32 evaluation of ``(avg_i64 * coeff + 4096) >> 13``."""
+    hi = avg >> 13          # arithmetic shift = floor(avg / 8192)
+    lo = avg & 8191         # non-negative remainder
+    return coeff * hi + ((coeff * lo + 4096) >> 13)
+
+
+def _lift(even: jnp.ndarray, odd: jnp.ndarray, coeff: int, predict: bool):
+    """One lifting step on split even/odd arrays (last axis).
+
+    Predict (src/wavelet.rs:180-197): odd[i] += Δ(even[i] + even[i+1]),
+    mirroring the last even at the right edge.
+    Update (src/wavelet.rs:201-217): even[i] += Δ(odd[i-1] + odd[i]),
+    mirroring odd[0] at the left edge.
+    """
+    if predict:
+        if even.shape[-1] > odd.shape[-1]:
+            # Odd-length signal: every odd sample has a real right neighbor.
+            even_l, even_r = even[..., :-1], even[..., 1:]
+            odd = odd + _delta(even_l + even_r, coeff)
+        else:
+            even_r = jnp.concatenate([even[..., 1:], even[..., -1:]], axis=-1)
+            odd = odd + _delta(even + even_r, coeff)
+    else:
+        odd_l = jnp.concatenate([odd[..., :1], odd[..., :-1]], axis=-1)
+        delta = _delta(odd_l + odd, coeff)
+        if even.shape[-1] > odd.shape[-1]:
+            # Odd-length: the trailing even sample is never updated.
+            even = jnp.concatenate([even[..., :-1] + delta, even[..., -1:]], axis=-1)
+        else:
+            even = even + delta
+    return even, odd
+
+
+def forward_1d(x: jnp.ndarray, wavelet: WaveletType) -> jnp.ndarray:
+    """Forward transform along the last axis (length must be even, ≥2).
+
+    Output layout: ``[low-pass..., high-pass...]`` — the even/odd split plays
+    the role of the reference's deinterleave (src/wavelet.rs:220-233).
+    Vectorized over all leading axes.
+    """
+    n = x.shape[-1]
+    if n < 2:
+        return x
+    if n % 2 == 0:
+        xr = x.reshape(*x.shape[:-1], n // 2, 2)
+        even, odd = xr[..., 0], xr[..., 1]
+    else:
+        even, odd = x[..., 0::2], x[..., 1::2]
+    for coeff, predict in LIFTING_STEPS[wavelet]:
+        even, odd = _lift(even, odd, coeff, predict)
+    if n % 2 == 1:
+        # Reference deinterleave quirk for odd n (src/wavelet.rs:220-233):
+        # only n//2 evens are copied; the final slot stays zero.
+        zero = jnp.zeros_like(even[..., :1])
+        return jnp.concatenate([even[..., :-1], odd, zero], axis=-1)
+    return jnp.concatenate([even, odd], axis=-1)
+
+
+def inverse_1d(x: jnp.ndarray, wavelet: WaveletType, *, exact: bool = False) -> jnp.ndarray:
+    """Inverse transform along the last axis.
+
+    ``exact=False`` replays steps with negated coefficients (reference
+    semantics, ±1 approximate); ``exact=True`` subtracts the identical
+    forward delta (perfect reconstruction).
+    """
+    n = x.shape[-1]
+    if n < 2:
+        return x
+    half = n // 2
+    if n % 2 == 0:
+        even, odd = x[..., :half], x[..., half:]
+    else:
+        # Reference interleave quirk for odd n (src/wavelet.rs:236-248):
+        # the trailing even slot is zero-filled.
+        zero = jnp.zeros_like(x[..., :1])
+        even = jnp.concatenate([x[..., :half], zero], axis=-1)
+        odd = x[..., half : 2 * half]
+    for coeff, predict in reversed(LIFTING_STEPS[wavelet]):
+        if exact:
+            # Undo by subtracting the same delta the forward step added.
+            if predict:
+                if even.shape[-1] > odd.shape[-1]:
+                    odd = odd - _delta(even[..., :-1] + even[..., 1:], coeff)
+                else:
+                    even_r = jnp.concatenate([even[..., 1:], even[..., -1:]], axis=-1)
+                    odd = odd - _delta(even + even_r, coeff)
+            else:
+                odd_l = jnp.concatenate([odd[..., :1], odd[..., :-1]], axis=-1)
+                delta = _delta(odd_l + odd, coeff)
+                if even.shape[-1] > odd.shape[-1]:
+                    even = jnp.concatenate(
+                        [even[..., :-1] - delta, even[..., -1:]], axis=-1
+                    )
+                else:
+                    even = even - delta
+        else:
+            even, odd = _lift(even, odd, -coeff, predict)
+    body = jnp.stack([even[..., :half], odd], axis=-1).reshape(*x.shape[:-1], 2 * half)
+    if n % 2 == 1:
+        return jnp.concatenate([body, even[..., -1:]], axis=-1)
+    return body
+
+
+def _apply_axis(x: jnp.ndarray, axis: int, fn) -> jnp.ndarray:
+    """Apply a last-axis transform along ``axis`` via moveaxis."""
+    if axis in (-1, x.ndim - 1):
+        return fn(x)
+    x = jnp.moveaxis(x, axis, -1)
+    x = fn(x)
+    return jnp.moveaxis(x, -1, axis)
+
+
+def forward_2d(image: jnp.ndarray, wavelet: WaveletType) -> jnp.ndarray:
+    """2D forward: rows then columns (reference src/wavelet.rs:292-316).
+
+    ``image`` shape ``(..., H, W)``; result quadrants [LL|HL / LH|HH] in the
+    reference's [low|high] per-axis layout.
+    """
+    fwd = partial(forward_1d, wavelet=wavelet)
+    image = _apply_axis(image, -1, fwd)   # rows (along W)
+    image = _apply_axis(image, -2, fwd)   # columns (along H)
+    return image
+
+
+def inverse_2d(image: jnp.ndarray, wavelet: WaveletType, *, exact: bool = False) -> jnp.ndarray:
+    """2D inverse: columns then rows (reference src/wavelet.rs:319-340)."""
+    inv = partial(inverse_1d, wavelet=wavelet, exact=exact)
+    image = _apply_axis(image, -2, inv)
+    image = _apply_axis(image, -1, inv)
+    return image
+
+
+def forward_3d(volume: jnp.ndarray, wavelet: WaveletType) -> jnp.ndarray:
+    """3D forward on ``(..., T, H, W)``: spatial per frame, then temporal.
+
+    Matches reference src/wavelet.rs:392-438 (rows → columns → t) — the
+    reference's frame-by-frame and pixel-by-pixel loops are data-independent,
+    so vectorizing them is bit-identical.
+    """
+    fwd = partial(forward_1d, wavelet=wavelet)
+    volume = _apply_axis(volume, -1, fwd)   # rows
+    volume = _apply_axis(volume, -2, fwd)   # columns
+    volume = _apply_axis(volume, -3, fwd)   # temporal
+    return volume
+
+
+def inverse_3d(volume: jnp.ndarray, wavelet: WaveletType, *, exact: bool = False) -> jnp.ndarray:
+    """3D inverse: temporal first, then columns, then rows (src/wavelet.rs:441-484)."""
+    inv = partial(inverse_1d, wavelet=wavelet, exact=exact)
+    volume = _apply_axis(volume, -3, inv)
+    volume = _apply_axis(volume, -2, inv)
+    volume = _apply_axis(volume, -1, inv)
+    return volume
+
+
+# Module-level jitted entry points (cached across calls).
+_fwd1 = jax.jit(forward_1d, static_argnames=("wavelet",))
+_inv1 = jax.jit(inverse_1d, static_argnames=("wavelet", "exact"))
+_fwd2 = jax.jit(forward_2d, static_argnames=("wavelet",))
+_inv2 = jax.jit(inverse_2d, static_argnames=("wavelet", "exact"))
+_fwd3 = jax.jit(forward_3d, static_argnames=("wavelet",))
+_inv3 = jax.jit(inverse_3d, static_argnames=("wavelet", "exact"))
+
+
+# ── Object API mirroring the reference types ────────────────────
+
+
+class Wavelet1D:
+    """1D lifting wavelet (reference src/wavelet.rs:47-249).
+
+    >>> import numpy as np
+    >>> w = Wavelet1D.cdf53()
+    >>> sig = np.array([10, 20, 30, 40, 50, 60, 70, 80], np.int32)
+    >>> bool(np.array_equal(w.inverse(w.forward(sig)), sig))
+    True
+    """
+
+    def __init__(self, wavelet: WaveletType):
+        self.wavelet = wavelet
+
+    @classmethod
+    def cdf97(cls) -> "Wavelet1D":
+        return cls(WaveletType.CDF97)
+
+    @classmethod
+    def cdf53(cls) -> "Wavelet1D":
+        return cls(WaveletType.CDF53)
+
+    @classmethod
+    def haar(cls) -> "Wavelet1D":
+        return cls(WaveletType.HAAR)
+
+    @property
+    def steps(self) -> tuple[tuple[int, bool], ...]:
+        return LIFTING_STEPS[self.wavelet]
+
+    def forward(self, signal):
+        import numpy as np
+
+        sig = jnp.asarray(np.asarray(signal, np.int32))
+        return np.asarray(_fwd1(sig, wavelet=self.wavelet))
+
+    def inverse(self, signal, *, exact: bool = False):
+        import numpy as np
+
+        sig = jnp.asarray(np.asarray(signal, np.int32))
+        return np.asarray(_inv1(sig, wavelet=self.wavelet, exact=exact))
+
+
+class Wavelet2D(Wavelet1D):
+    """2D wavelet: rows then columns (reference src/wavelet.rs:265-341)."""
+
+    @classmethod
+    def new(cls, wavelet_1d: Wavelet1D) -> "Wavelet2D":
+        return cls(wavelet_1d.wavelet)
+
+    def forward(self, image, width: int | None = None, height: int | None = None):
+        import numpy as np
+
+        img = np.asarray(image, np.int32)
+        if img.ndim == 1:
+            img = img.reshape(height, width)
+        out = _fwd2(jnp.asarray(img), wavelet=self.wavelet)
+        return np.asarray(out).reshape(np.asarray(image).shape)
+
+    def inverse(self, image, width: int | None = None, height: int | None = None,
+                *, exact: bool = False):
+        import numpy as np
+
+        img = np.asarray(image, np.int32)
+        if img.ndim == 1:
+            img = img.reshape(height, width)
+        out = _inv2(jnp.asarray(img), wavelet=self.wavelet, exact=exact)
+        return np.asarray(out).reshape(np.asarray(image).shape)
+
+
+class Wavelet3D(Wavelet1D):
+    """3D wavelet over (t, y, x) video volumes (reference src/wavelet.rs:359-485)."""
+
+    @classmethod
+    def new(cls, wavelet_1d: Wavelet1D) -> "Wavelet3D":
+        return cls(wavelet_1d.wavelet)
+
+    def forward(self, volume, width: int | None = None, height: int | None = None,
+                depth: int | None = None):
+        import numpy as np
+
+        vol = np.asarray(volume, np.int32)
+        if vol.ndim == 1:
+            vol = vol.reshape(depth, height, width)
+        out = _fwd3(jnp.asarray(vol), wavelet=self.wavelet)
+        return np.asarray(out).reshape(np.asarray(volume).shape)
+
+    def inverse(self, volume, width: int | None = None, height: int | None = None,
+                depth: int | None = None, *, exact: bool = False):
+        import numpy as np
+
+        vol = np.asarray(volume, np.int32)
+        if vol.ndim == 1:
+            vol = vol.reshape(depth, height, width)
+        out = _inv3(jnp.asarray(vol), wavelet=self.wavelet, exact=exact)
+        return np.asarray(out).reshape(np.asarray(volume).shape)

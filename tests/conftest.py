@@ -1,0 +1,15 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+Multi-chip sharding paths are validated on a simulated 8-device CPU mesh
+(the driver separately dry-runs the multi-chip path; benches use the real
+TPU).  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

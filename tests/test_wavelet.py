@@ -1,0 +1,135 @@
+"""Wavelet parity + roundtrip tests (reference: src/wavelet.rs tests)."""
+
+import numpy as np
+import pytest
+
+from alice_codec_tpu.core import WaveletType
+from alice_codec_tpu.ops import wavelet
+
+import oracle
+
+KINDS = [
+    (WaveletType.HAAR, "haar"),
+    (WaveletType.CDF53, "cdf53"),
+    (WaveletType.CDF97, "cdf97"),
+]
+
+
+@pytest.mark.parametrize("wt,name", KINDS)
+@pytest.mark.parametrize("n", [2, 4, 8, 16, 64, 128])
+def test_forward_1d_matches_oracle(wt, name, n):
+    rng = np.random.default_rng(n)
+    sig = rng.integers(-512, 512, size=n).astype(np.int32)
+    got = np.asarray(wavelet.forward_1d(sig, wt))
+    want = oracle.wavelet_forward_1d(sig, name)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("wt,name", KINDS)
+@pytest.mark.parametrize("n", [2, 4, 8, 64])
+def test_inverse_1d_matches_oracle(wt, name, n):
+    """Compat inverse must replay the reference's negated-coeff arithmetic."""
+    rng = np.random.default_rng(n + 100)
+    sig = rng.integers(-2000, 2000, size=n).astype(np.int32)
+    got = np.asarray(wavelet.inverse_1d(sig, wt))
+    want = oracle.wavelet_inverse_1d(sig, name)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("wt,name", KINDS)
+def test_roundtrip_1d_compat_tolerance(wt, name):
+    """Reference semantics: forward∘inverse within small tolerance
+    (reference tests use ±1..±3, src/wavelet.rs:502,531)."""
+    rng = np.random.default_rng(77)
+    sig = rng.integers(0, 256, size=256).astype(np.int32)
+    rec = np.asarray(wavelet.inverse_1d(wavelet.forward_1d(sig, wt), wt))
+    tol = 3 if wt is WaveletType.CDF97 else 2
+    assert np.abs(rec - sig).max() <= tol
+
+
+@pytest.mark.parametrize("wt,_", KINDS)
+def test_roundtrip_1d_exact_mode(wt, _):
+    """exact=True must reconstruct perfectly for arbitrary inputs."""
+    rng = np.random.default_rng(78)
+    for n in (2, 4, 6, 8, 64, 256):
+        sig = rng.integers(-30000, 30000, size=n).astype(np.int32)
+        rec = np.asarray(wavelet.inverse_1d(wavelet.forward_1d(sig, wt), wt, exact=True))
+        assert np.array_equal(rec, sig), f"n={n}"
+
+
+def test_doc_example_cdf53_exact_values():
+    """The reference doc test asserts this exact roundtrip (src/wavelet.rs:37-45)."""
+    sig = np.array([10, 20, 30, 40, 50, 60, 70, 80], np.int32)
+    w = wavelet.Wavelet1D.cdf53()
+    assert np.array_equal(w.inverse(w.forward(sig)), sig)
+
+
+def test_haar_roundtrip_object_api():
+    """Reference's own haar test tolerates ±1 (src/wavelet.rs:500-502)."""
+    sig = np.array([10, 20, 30, 40, 50, 60, 70, 80], np.int32)
+    w = wavelet.Wavelet1D.haar()
+    assert np.abs(w.inverse(w.forward(sig)) - sig).max() <= 1
+    # exact mode reconstructs perfectly
+    assert np.array_equal(w.inverse(w.forward(sig), exact=True), sig)
+
+
+@pytest.mark.parametrize("wt,name", KINDS)
+def test_forward_3d_matches_oracle(wt, name):
+    rng = np.random.default_rng(9)
+    vol = rng.integers(-512, 512, size=(4, 6, 8)).astype(np.int32)
+    got = np.asarray(wavelet.forward_3d(vol, wt))
+    want = oracle.wavelet_forward_3d(vol, name)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("wt,name", KINDS)
+def test_inverse_3d_matches_oracle(wt, name):
+    rng = np.random.default_rng(10)
+    vol = rng.integers(-2000, 2000, size=(4, 4, 4)).astype(np.int32)
+    got = np.asarray(wavelet.inverse_3d(vol, wt))
+    want = oracle.wavelet_inverse_3d(vol, name)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("wt,_", KINDS)
+def test_roundtrip_3d_exact(wt, _):
+    rng = np.random.default_rng(11)
+    vol = rng.integers(-511, 512, size=(8, 16, 16)).astype(np.int32)
+    rec = np.asarray(wavelet.inverse_3d(wavelet.forward_3d(vol, wt), wt, exact=True))
+    assert np.array_equal(rec, vol)
+
+
+def test_2d_roundtrip():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(8, 8)).astype(np.int32)
+    w = wavelet.Wavelet2D.cdf53()
+    rec = w.inverse(w.forward(img), exact=True)
+    assert np.array_equal(rec, img)
+
+
+def test_batched_leading_axes():
+    """Vectorization over leading axes must equal per-item transforms."""
+    rng = np.random.default_rng(13)
+    batch = rng.integers(-512, 512, size=(5, 32)).astype(np.int32)
+    whole = np.asarray(wavelet.forward_1d(batch, WaveletType.CDF97))
+    each = np.stack(
+        [np.asarray(wavelet.forward_1d(batch[i], WaveletType.CDF97)) for i in range(5)]
+    )
+    assert np.array_equal(whole, each)
+
+
+def test_short_signal_passthrough():
+    sig = np.array([42], np.int32)
+    assert np.array_equal(np.asarray(wavelet.forward_1d(sig, WaveletType.HAAR)), sig)
+
+
+@pytest.mark.parametrize("wt,name", KINDS)
+@pytest.mark.parametrize("n", [3, 7, 15])
+def test_odd_length_matches_oracle(wt, name, n):
+    """Odd n replicates the reference's zero-fill deinterleave quirk."""
+    rng = np.random.default_rng(n + 50)
+    sig = rng.integers(-500, 500, size=n).astype(np.int32)
+    fwd = np.asarray(wavelet.forward_1d(sig, wt))
+    assert np.array_equal(fwd, oracle.wavelet_forward_1d(sig, name))
+    inv = np.asarray(wavelet.inverse_1d(fwd, wt))
+    assert np.array_equal(inv, oracle.wavelet_inverse_1d(fwd, name))
