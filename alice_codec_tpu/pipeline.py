@@ -1,0 +1,413 @@
+"""End-to-end encode/decode pipeline and the `.alc` container.
+
+TPU-native re-architecture of the reference pipeline (reference:
+src/pipeline.rs).  The split of work:
+
+* **Device (one jitted XLA program per chunk shape)** — color conversion,
+  edge-replicating pad to even dims, 3D lifting wavelet, dead-zone
+  quantization, zigzag symbol mapping and the 256-bin histograms.  All of it
+  fuses; the program is ``vmap``-able over chunk batches and shardable over
+  a device mesh (see parallel/).
+* **Host (native C++)** — frequency-table normalization and the serial
+  byte-stream rANS that the `.alc` wire format requires
+  (reference src/rans.rs), via ops/rans.py.
+
+Wire format (bit-compatible with the reference, src/pipeline.rs:123-313)::
+
+    "ALCC" | version=1 | wavelet u8 | width u32 | height u32 | frames u32   (18 B)
+    3 × ChannelHeader {compressed_len u32, quant_step i32,
+                       quant_dead_zone i32, num_symbols u32,
+                       histogram[256] u32}                                  (3×1040 B)
+    payload: concatenated per-channel rANS streams
+
+Quality → step mapping, padding rules, per-channel processing order and all
+integer arithmetic match the reference exactly, so chunks interop with the
+reference encoder/decoder in both directions.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import WaveletType, checked_pixel_count, padded_dims, quality_to_step
+from .errors import (
+    InvalidBitstream,
+    InvalidBufferSize,
+    InvalidDimensions,
+)
+from .ops import color, quant, wavelet
+from .ops.rans import FrequencyTable, RansDecoder, RansEncoder
+
+__all__ = ["ChannelHeader", "EncodedChunk", "FrameEncoder", "FrameDecoder"]
+
+_MAGIC = b"ALCC"
+_FORMAT_VERSION = 1
+_FIXED_HEADER_BYTES = 18
+_CHANNEL_HEADER_BYTES = 1040
+
+
+# ── Device programs ─────────────────────────────────────────────
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "padded"))
+def encode_device(
+    rgb: jnp.ndarray,
+    step: jnp.ndarray,
+    dead_zone: jnp.ndarray,
+    *,
+    wavelet_type: WaveletType,
+    padded: tuple[int, int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused device encode stage.
+
+    ``rgb``: uint8 ``(T, H, W, 3)``.  Returns ``(symbols, histograms)`` with
+    symbols uint8 ``(3, pT*pH*pW)`` (channel order Y, Co, Cg, frame-major
+    like the reference) and histograms uint32 ``(3, 256)``.
+    """
+    pw, ph, pf = padded
+    t, h, w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
+
+    y, co, cg = color.rgb_to_ycocg_r(rgb)           # (T,H,W) i16 each
+    chans = jnp.stack([y, co, cg]).astype(jnp.int32)  # (3,T,H,W)
+
+    # Edge-replicating pad to even dims (reference src/pipeline.rs:77-114).
+    chans = jnp.pad(
+        chans,
+        ((0, 0), (0, pf - t), (0, ph - h), (0, pw - w)),
+        mode="edge",
+    )
+
+    coeffs = wavelet.forward_3d(chans, wavelet_type)
+    qcoeffs = quant.quantize(coeffs, step, dead_zone)
+    symbols = quant.to_symbols(qcoeffs).reshape(3, pf * ph * pw)
+    hists = jax.vmap(quant.build_histogram)(symbols)
+    return symbols, hists
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
+def decode_device(
+    symbols: jnp.ndarray,
+    step: jnp.ndarray,
+    dead_zone: jnp.ndarray,
+    *,
+    wavelet_type: WaveletType,
+    dims: tuple[int, int, int],
+    padded: tuple[int, int, int],
+    exact: bool = False,
+) -> jnp.ndarray:
+    """Fused device decode stage: symbols (3, P) uint8 → RGB (T,H,W,3) uint8.
+
+    ``step``/``dead_zone`` are shape-(3,) per-channel arrays (from the
+    channel headers).  ``exact`` selects the exact-undo wavelet inverse; the
+    default replays the reference's negated-coefficient inverse for
+    bit-identical output.
+    """
+    w, h, t = dims
+    pw, ph, pf = padded
+    qcoeffs = quant.from_symbols(symbols).reshape(3, pf, ph, pw)
+    coeffs = qcoeffs * step.astype(jnp.int32).reshape(3, 1, 1, 1)
+    del dead_zone  # stored in headers but unused by dequantization
+    volume = wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
+    # i32 → i16 truncating cast, strip padding (src/pipeline.rs:602-611).
+    chans = volume[:, :t, :h, :w].astype(jnp.int16)
+    return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
+
+
+# ── Container types ─────────────────────────────────────────────
+
+
+@dataclass
+class ChannelHeader:
+    """Per-channel metadata (reference src/pipeline.rs:123-137)."""
+
+    compressed_len: int = 0
+    quant_step: int = 1
+    quant_dead_zone: int = 1
+    num_symbols: int = 0
+    histogram: np.ndarray = field(default_factory=lambda: np.zeros(256, np.uint32))
+
+    def to_bytes(self) -> bytes:
+        head = struct.pack(
+            "<IiiI",
+            self.compressed_len,
+            self.quant_step,
+            self.quant_dead_zone,
+            self.num_symbols,
+        )
+        return head + np.ascontiguousarray(self.histogram, np.uint32).tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ChannelHeader":
+        compressed_len, step, dz, num_symbols = struct.unpack_from("<IiiI", data, 0)
+        hist = np.frombuffer(data, np.uint32, count=256, offset=16).copy()
+        return cls(compressed_len, step, dz, num_symbols, hist)
+
+
+@dataclass
+class EncodedChunk:
+    """Compressed representation of an RGB frame chunk.
+
+    Mirrors the reference ``EncodedChunk`` (src/pipeline.rs:172-313)
+    including serialization.  ``.alc`` bytes produced here decode with the
+    reference implementation and vice versa.
+    """
+
+    width: int
+    height: int
+    frames: int
+    wavelet_type: WaveletType
+    channel_headers: list[ChannelHeader]
+    compressed_data: bytes
+
+    @property
+    def compressed_size(self) -> int:
+        """Total size of the compressed payload in bytes."""
+        return len(self.compressed_data)
+
+    @property
+    def wavelet(self) -> str:
+        """Wavelet name string ("cdf53" | "cdf97" | "haar")."""
+        return self.wavelet_type.name_str
+
+    def to_bytes(self) -> bytes:
+        """Serialize to a self-contained `.alc` byte buffer (src/pipeline.rs:200-226)."""
+        buf = bytearray()
+        buf += _MAGIC
+        buf.append(_FORMAT_VERSION)
+        buf.append(int(self.wavelet_type))
+        buf += struct.pack("<III", self.width, self.height, self.frames)
+        for ch in self.channel_headers:
+            buf += ch.to_bytes()
+        buf += self.compressed_data
+        return bytes(buf)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "EncodedChunk":
+        """Parse `.alc` bytes (validation per src/pipeline.rs:235-313)."""
+        data = bytes(data)
+        min_len = _FIXED_HEADER_BYTES + 3 * _CHANNEL_HEADER_BYTES
+        if len(data) < min_len:
+            raise InvalidBitstream(
+                f"data too short: {len(data)} bytes (minimum {min_len})"
+            )
+        if data[0:4] != _MAGIC:
+            raise InvalidBitstream("bad magic (expected ALCC)")
+        version = data[4]
+        if version != _FORMAT_VERSION:
+            raise InvalidBitstream(
+                f"unsupported version: {version} (expected {_FORMAT_VERSION})"
+            )
+        wavelet_type = WaveletType.from_u8(data[5])
+        width, height, frames = struct.unpack_from("<III", data, 6)
+
+        headers = []
+        off = _FIXED_HEADER_BYTES
+        total_compressed = 0
+        for _ in range(3):
+            hdr = ChannelHeader.from_bytes(data[off : off + _CHANNEL_HEADER_BYTES])
+            headers.append(hdr)
+            off += _CHANNEL_HEADER_BYTES
+            total_compressed += hdr.compressed_len
+        if len(data) < off + total_compressed:
+            raise InvalidBitstream(
+                f"truncated payload: need {off + total_compressed - len(data)} more bytes"
+            )
+        payload = data[off : off + total_compressed]
+        return cls(width, height, frames, wavelet_type, headers, payload)
+
+    def __repr__(self) -> str:
+        return (
+            f"EncodedChunk({self.width}x{self.height}x{self.frames}, "
+            f"{self.compressed_size} bytes, {self.wavelet})"
+        )
+
+
+def _decode_channel(stream: bytes, n_symbols: int, histogram) -> np.ndarray:
+    """rANS-decode one channel, auto-detecting the table variant.
+
+    Decode with the reference-exact table first and verify the rANS
+    final-state invariant (a correctly decoded stream always ends with
+    state == RANS32_L and every byte consumed — the decoder walks back to
+    the encoder's initial state).  On violation the stream was encoded
+    with the sanitized table (overflow regime); retry with it.
+    """
+    from .ops.rans import RANS32_L
+
+    table = FrequencyTable.from_histogram(histogram)
+    dec = RansDecoder(stream)
+    syms = dec.decode_n(n_symbols, table)
+    if dec.state == RANS32_L and dec.pos == len(stream):
+        return syms
+    table_s = FrequencyTable.from_histogram(histogram, sanitize=True)
+    if np.array_equal(table_s.freqs, table.freqs):
+        return syms  # no alternate table exists; reference behavior stands
+    dec = RansDecoder(stream)
+    syms_s = dec.decode_n(n_symbols, table_s)
+    if dec.state == RANS32_L and dec.pos == len(stream):
+        return syms_s
+    return syms  # neither satisfies the invariant (foreign corrupt stream)
+
+
+def _empty_chunk(width: int, height: int, frames: int, wt: WaveletType) -> EncodedChunk:
+    return EncodedChunk(
+        width,
+        height,
+        frames,
+        wt,
+        [ChannelHeader() for _ in range(3)],
+        b"",
+    )
+
+
+# ── FrameEncoder / FrameDecoder ─────────────────────────────────
+
+
+class FrameEncoder:
+    """Video frame encoder (reference src/pipeline.rs:335-508, API per
+    src/python.rs:365-436).
+
+    >>> import numpy as np
+    >>> rgb = np.full(4 * 4 * 2 * 3, 128, np.uint8)
+    >>> chunk = FrameEncoder(quality=80).encode(rgb, 4, 4, 2)
+    >>> out = FrameDecoder().decode(chunk)
+    >>> out.shape == rgb.shape
+    True
+    """
+
+    def __init__(self, quality: int = 90, wavelet: str | WaveletType = "cdf53"):
+        self.quality = int(quality)
+        self.wavelet_type = (
+            wavelet if isinstance(wavelet, WaveletType) else WaveletType.from_name(wavelet)
+        )
+
+    @classmethod
+    def with_wavelet(cls, quality: int, wavelet_type: WaveletType) -> "FrameEncoder":
+        return cls(quality, wavelet_type)
+
+    def encode(
+        self, rgb_frames, width: int, height: int, frames: int
+    ) -> EncodedChunk:
+        """Encode interleaved RGB bytes ``[R0,G0,B0, R1,G1,B1, ...]``.
+
+        Accepts a flat uint8 array (reference layout) or ``(T, H, W, 3)``.
+        """
+        w, h, f = int(width), int(height), int(frames)
+        n_pixels = checked_pixel_count(w, h, f)
+
+        rgb = np.ascontiguousarray(rgb_frames, np.uint8)
+
+        if n_pixels == 0:
+            if rgb.size != 0:
+                raise InvalidBufferSize(0, rgb.size)
+            return _empty_chunk(w, h, f, self.wavelet_type)
+        if w == 0 or h == 0:
+            raise InvalidDimensions(w, h)
+        if rgb.size != n_pixels * 3:
+            raise InvalidBufferSize(n_pixels * 3, rgb.size)
+
+        rgb = rgb.reshape(f, h, w, 3)
+        padded = padded_dims(w, h, f)
+        pw, ph, pf = padded
+        padded_pixels = pw * ph * pf
+
+        step = quality_to_step(self.quality)
+        dead_zone = step  # Quantizer::new semantics (src/quant.rs:70-75)
+
+        symbols_dev, hists_dev = encode_device(
+            jnp.asarray(rgb),
+            jnp.int32(step),
+            jnp.int32(dead_zone),
+            wavelet_type=self.wavelet_type,
+            padded=padded,
+        )
+        symbols = np.asarray(jax.device_get(symbols_dev))
+        hists = np.asarray(jax.device_get(hists_dev)).astype(np.uint32)
+
+        headers: list[ChannelHeader] = []
+        payload = bytearray()
+        for ch in range(3):
+            # Reference-exact table first: whenever the reference's coder can
+            # represent this stream, our bytes match it exactly.  If a slot
+            # overflows PROB_SCALE (the reference would corrupt the stream —
+            # see ops/rans.py), re-encode with the sanitized table; the
+            # decoder detects which table was used via the rANS final-state
+            # invariant.
+            table = FrequencyTable.from_histogram(hists[ch])
+            enc = RansEncoder()
+            enc.encode_symbols(symbols[ch], table)
+            if enc.overflowed:
+                table = FrequencyTable.from_histogram(hists[ch], sanitize=True)
+                enc = RansEncoder()
+                enc.encode_symbols(symbols[ch], table)
+            compressed = enc.finish()
+            headers.append(
+                ChannelHeader(
+                    compressed_len=len(compressed),
+                    quant_step=step,
+                    quant_dead_zone=dead_zone,
+                    num_symbols=padded_pixels,
+                    histogram=hists[ch],
+                )
+            )
+            payload += compressed
+
+        return EncodedChunk(
+            w, h, f, self.wavelet_type, headers, bytes(payload)
+        )
+
+
+class FrameDecoder:
+    """Video frame decoder (reference src/pipeline.rs:519-631)."""
+
+    def __init__(self) -> None:
+        pass
+
+    def decode(self, chunk: EncodedChunk, *, exact: bool = False) -> np.ndarray:
+        """Decode a chunk back to flat interleaved RGB uint8 bytes.
+
+        ``exact=True`` uses the exact-undo wavelet inverse (better
+        reconstruction); the default matches reference decoder output
+        bit-for-bit.
+        """
+        w, h, f = int(chunk.width), int(chunk.height), int(chunk.frames)
+        n_pixels = checked_pixel_count(w, h, f)
+        if n_pixels == 0:
+            return np.empty(0, np.uint8)
+
+        padded = padded_dims(w, h, f)
+        pw, ph, pf = padded
+        padded_pixels = pw * ph * pf
+
+        symbols = np.empty((3, padded_pixels), np.uint8)
+        steps = np.empty(3, np.int32)
+        offset = 0
+        for ch_idx, hdr in enumerate(chunk.channel_headers):
+            if hdr.num_symbols != padded_pixels:
+                raise InvalidBitstream(
+                    f"channel {ch_idx}: num_symbols {hdr.num_symbols} != "
+                    f"padded_pixels {padded_pixels}"
+                )
+            end = offset + hdr.compressed_len
+            if end > len(chunk.compressed_data):
+                raise InvalidBitstream(f"channel {ch_idx}: compressed data overrun")
+            stream = chunk.compressed_data[offset:end]
+            offset = end
+            symbols[ch_idx] = _decode_channel(stream, padded_pixels, hdr.histogram)
+            steps[ch_idx] = hdr.quant_step
+
+        rgb_dev = decode_device(
+            jnp.asarray(symbols),
+            jnp.asarray(steps),
+            jnp.asarray(steps),  # dead_zone unused by dequantize
+            wavelet_type=chunk.wavelet_type,
+            dims=(w, h, f),
+            padded=padded,
+            exact=exact,
+        )
+        return np.asarray(jax.device_get(rgb_dev)).reshape(-1)

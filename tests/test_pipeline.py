@@ -1,0 +1,202 @@
+"""End-to-end pipeline tests (reference: src/pipeline.rs tests)."""
+
+import numpy as np
+import pytest
+
+from alice_codec_tpu import pipeline
+from alice_codec_tpu.core import WaveletType, padded_dims, quality_to_step
+from alice_codec_tpu.errors import (
+    InvalidBitstream,
+    InvalidBufferSize,
+    InvalidDimensions,
+)
+from alice_codec_tpu.pipeline import EncodedChunk, FrameDecoder, FrameEncoder
+
+import oracle
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    return float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+
+
+def _test_video(w, h, f, seed=0):
+    """Smooth moving gradient — compressible, realistic."""
+    rng = np.random.default_rng(seed)
+    x = np.arange(w)[None, None, :, None]
+    y = np.arange(h)[None, :, None, None]
+    t = np.arange(f)[:, None, None, None]
+    base = (x * 3 + y * 2 + t * 7) % 256
+    noise = rng.integers(0, 12, size=(f, h, w, 1))
+    rgb = np.clip(base + noise + np.array([0, 40, 80])[None, None, None, :], 0, 255)
+    return rgb.astype(np.uint8).reshape(-1)
+
+
+def _oracle_encode_chunk(rgb_flat, w, h, f, quality, kind_name, wt):
+    """Full-pipeline oracle: transliterated Rust arithmetic end-to-end."""
+    pw, ph, pf = padded_dims(w, h, f)
+    rgb = rgb_flat.reshape(f, h, w, 3)
+    y = np.zeros((f, h, w), np.int64)
+    co = np.zeros((f, h, w), np.int64)
+    cg = np.zeros((f, h, w), np.int64)
+    for t in range(f):
+        for yy in range(h):
+            for xx in range(w):
+                py, pco, pcg = oracle.rgb_to_ycocg_pixel(*rgb[t, yy, xx])
+                y[t, yy, xx], co[t, yy, xx], cg[t, yy, xx] = py, pco, pcg
+    step = max(64 - (min(quality, 100) * 63) // 100, 1)
+    headers = []
+    payload = b""
+    for ch in (y, co, cg):
+        buf = np.zeros((pf, ph, pw), np.int64)
+        buf[:f, :h, :w] = ch
+        if pw > w:
+            buf[:f, :h, w] = ch[:, :, w - 1]
+        if ph > h:
+            buf[:f, h, :] = buf[:f, h - 1, :]
+        for t in range(f, pf):
+            buf[t] = buf[f - 1]
+        coeffs = oracle.wavelet_forward_3d(buf.astype(np.int32), kind_name)
+        q = np.array(
+            [oracle.quantize(int(v), step, step) for v in coeffs.ravel()], np.int32
+        )
+        syms = oracle.to_symbols(q)
+        hist = np.bincount(syms, minlength=256).astype(np.uint32)
+        of, oc, _ = oracle.freq_table_from_histogram(hist)
+        comp = oracle.rans_encode(syms, of, oc)
+        headers.append((len(comp), step, step, len(syms), hist))
+        payload += comp
+    import struct
+
+    out = b"ALCC" + bytes([1, int(wt)]) + struct.pack("<III", w, h, f)
+    for cl, st, dz, ns, hist in headers:
+        out += struct.pack("<IiiI", cl, st, dz, ns) + hist.tobytes()
+    return out + payload
+
+
+def test_bitstream_matches_oracle_end_to_end():
+    """Golden-bytes parity: our encoder must equal the transliterated
+    reference arithmetic byte-for-byte, headers and payload."""
+    w, h, f, q = 6, 4, 2, 70
+    rgb = _test_video(w, h, f, seed=5)
+    ours = FrameEncoder(quality=q, wavelet="cdf53").encode(rgb, w, h, f).to_bytes()
+    want = _oracle_encode_chunk(rgb, w, h, f, q, "cdf53", WaveletType.CDF53)
+    assert ours == want
+
+
+@pytest.mark.parametrize("wavelet", ["cdf53", "cdf97", "haar"])
+def test_roundtrip_quality90(wavelet):
+    w, h, f = 16, 12, 4
+    rgb = _test_video(w, h, f)
+    chunk = FrameEncoder(quality=90, wavelet=wavelet).encode(rgb, w, h, f)
+    out = FrameDecoder().decode(chunk)
+    assert out.shape == rgb.shape
+    assert _psnr(rgb, out) > 20.0  # reference uses >15 dB (src/pipeline.rs:692)
+
+
+def test_near_lossless_quality100():
+    w, h, f = 8, 8, 4
+    rgb = _test_video(w, h, f)
+    chunk = FrameEncoder(quality=100, wavelet="cdf53").encode(rgb, w, h, f)
+    out = FrameDecoder().decode(chunk)
+    assert _psnr(rgb, out) > 40.0  # compat inverse has ±1 wavelet noise
+    # exact inverse mode gives true lossless at q=100 (step=1)
+    out_exact = FrameDecoder().decode(chunk, exact=True)
+    assert np.array_equal(out_exact, rgb)
+
+
+def test_low_quality_compresses_more():
+    w, h, f = 32, 32, 4
+    rgb = _test_video(w, h, f)
+    hi = FrameEncoder(quality=95).encode(rgb, w, h, f)
+    lo = FrameEncoder(quality=10).encode(rgb, w, h, f)
+    assert lo.compressed_size < hi.compressed_size
+
+
+def test_serialization_roundtrip():
+    w, h, f = 10, 6, 2
+    rgb = _test_video(w, h, f)
+    chunk = FrameEncoder(quality=85, wavelet="cdf97").encode(rgb, w, h, f)
+    data = chunk.to_bytes()
+    restored = EncodedChunk.from_bytes(data)
+    assert restored.width == w and restored.height == h and restored.frames == f
+    assert restored.wavelet_type is WaveletType.CDF97
+    assert restored.wavelet == "cdf97"
+    assert restored.compressed_data == chunk.compressed_data
+    out1 = FrameDecoder().decode(chunk)
+    out2 = FrameDecoder().decode(restored)
+    assert np.array_equal(out1, out2)
+    assert repr(restored).startswith("EncodedChunk(10x6x2,")
+
+
+def test_bad_magic_and_truncation():
+    with pytest.raises(InvalidBitstream):
+        EncodedChunk.from_bytes(b"XXXX" + b"\x00" * 4000)
+    with pytest.raises(InvalidBitstream):
+        EncodedChunk.from_bytes(b"ALCC")
+    rgb = _test_video(4, 4, 2)
+    good = FrameEncoder().encode(rgb, 4, 4, 2).to_bytes()
+    with pytest.raises(InvalidBitstream):
+        EncodedChunk.from_bytes(good[: len(good) - 5])
+    # wrong version
+    bad_ver = bytearray(good)
+    bad_ver[4] = 9
+    with pytest.raises(InvalidBitstream):
+        EncodedChunk.from_bytes(bytes(bad_ver))
+    # unknown wavelet byte
+    bad_wt = bytearray(good)
+    bad_wt[5] = 7
+    with pytest.raises(InvalidBitstream):
+        EncodedChunk.from_bytes(bytes(bad_wt))
+
+
+def test_odd_dimensions():
+    w, h, f = 5, 3, 3
+    rgb = _test_video(w, h, f)
+    chunk = FrameEncoder(quality=90).encode(rgb, w, h, f)
+    out = FrameDecoder().decode(chunk)
+    assert out.shape == rgb.shape
+    assert _psnr(rgb, out) > 10.0  # reference odd-dims tests use >10 dB
+
+
+def test_single_frame_and_1x1():
+    rgb1 = _test_video(4, 4, 1)
+    chunk = FrameEncoder(quality=90).encode(rgb1, 4, 4, 1)
+    assert FrameDecoder().decode(chunk).shape == rgb1.shape
+    tiny = np.array([100, 150, 200], np.uint8)
+    chunk = FrameEncoder(quality=100).encode(tiny, 1, 1, 1)
+    out = FrameDecoder().decode(chunk)
+    assert out.shape == (3,)
+
+
+def test_zero_area_chunk():
+    chunk = FrameEncoder().encode(np.empty(0, np.uint8), 0, 4, 2)
+    assert chunk.compressed_size == 0
+    assert FrameDecoder().decode(chunk).size == 0
+    with pytest.raises(InvalidBufferSize):
+        FrameEncoder().encode(np.ones(3, np.uint8), 0, 4, 2)
+
+
+def test_buffer_size_validation():
+    with pytest.raises(InvalidBufferSize):
+        FrameEncoder().encode(np.ones(10, np.uint8), 4, 4, 2)
+
+
+def test_gray_frames_compress_tiny():
+    rgb = np.full(16 * 16 * 4 * 3, 128, np.uint8)
+    chunk = FrameEncoder(quality=80).encode(rgb, 16, 16, 4)
+    # constant input → almost all zero symbols → tiny payload
+    assert chunk.compressed_size < 16 * 16 * 4 * 3 // 10
+    out = FrameDecoder().decode(chunk)
+    assert _psnr(rgb, out) > 20.0  # global quantizer costs ~11 LSB on flat DC
+
+
+def test_quality_step_mapping():
+    assert quality_to_step(100) == 1
+    assert quality_to_step(0) == 64
+    assert quality_to_step(90) == 8
+    header = FrameEncoder(quality=90).encode(_test_video(4, 4, 2), 4, 4, 2)
+    assert header.channel_headers[0].quant_step == 8
+    assert header.channel_headers[0].quant_dead_zone == 8
