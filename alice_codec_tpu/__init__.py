@@ -42,11 +42,68 @@ from .ops.quant import (
     to_symbols,
 )
 from .ops.wavelet import Wavelet1D, Wavelet2D, Wavelet3D
+from .lossless import (
+    LosslessEncoder,
+    verify_roundtrip_1d,
+    verify_roundtrip_2d,
+)
+from .metrics import mse, psnr
+from .pipeline import EncodedChunk, FrameDecoder, FrameEncoder
+from .rate_control import RateControlConfig, RateController, estimate_quality
+from .segment import (
+    SegmentConfig,
+    SegmentResult,
+    crop_bbox_numpy,
+    crop_to_bbox,
+    paste_bbox_numpy,
+    paste_from_bbox,
+    rle_encode_numpy,
+    segment_by_chroma,
+    segment_by_motion,
+    segment_chroma_numpy,
+    segment_motion_numpy,
+)
+from .ssim import ms_ssim, ssim
 
 
 def version() -> str:
     """Library version (reference: src/python.rs:274-277)."""
     return VERSION
+
+
+def rgb_to_ycocg_r_numpy(rgb_bytes):
+    """Interleaved RGB bytes → planar (y, co, cg) int16 NumPy arrays.
+
+    Mirror of the reference binding (src/python.rs:497-530).
+    """
+    import numpy as np
+
+    from .errors import InvalidBufferSize
+    from .ops import color as _color
+
+    flat = np.asarray(rgb_bytes, np.uint8).reshape(-1)
+    if flat.size % 3 != 0:
+        raise InvalidBufferSize((flat.size // 3 + 1) * 3, flat.size)
+    y, co, cg = _color.rgb_to_ycocg_r(flat.reshape(-1, 3))
+    return np.asarray(y), np.asarray(co), np.asarray(cg)
+
+
+def ycocg_r_to_rgb_numpy(y, co, cg):
+    """Planar (y, co, cg) int16 → interleaved RGB uint8 NumPy array.
+
+    Mirror of the reference binding (src/python.rs:543-583).
+    """
+    import numpy as np
+
+    from .errors import InvalidBufferSize
+    from .ops import color as _color
+
+    y = np.asarray(y, np.int16).reshape(-1)
+    co = np.asarray(co, np.int16).reshape(-1)
+    cg = np.asarray(cg, np.int16).reshape(-1)
+    if y.size != co.size or y.size != cg.size:
+        raise InvalidBufferSize(y.size, min(co.size, cg.size))
+    return np.asarray(_color.ycocg_r_to_rgb(y, co, cg)).reshape(-1)
 
 
 __version__ = VERSION
@@ -56,12 +113,20 @@ __all__ = [
     "CodecError",
     "DEFAULT_CHUNK_SIZE",
     "DimensionOverflow",
+    "EncodedChunk",
     "FastQuantizer",
+    "FrameDecoder",
+    "FrameEncoder",
     "InvalidBitstream",
     "InvalidBufferSize",
     "InvalidDimensions",
     "InvalidQuantStep",
+    "LosslessEncoder",
     "Quantizer",
+    "RateControlConfig",
+    "RateController",
+    "SegmentConfig",
+    "SegmentResult",
     "SubBand3D",
     "VERSION",
     "Wavelet1D",
@@ -69,10 +134,28 @@ __all__ = [
     "Wavelet3D",
     "WaveletType",
     "build_histogram",
+    "crop_bbox_numpy",
+    "crop_to_bbox",
     "dequantize_subband",
+    "estimate_quality",
     "from_symbols",
+    "ms_ssim",
+    "mse",
+    "paste_bbox_numpy",
+    "paste_from_bbox",
+    "psnr",
     "quality_to_step",
     "quantize_subband",
+    "rgb_to_ycocg_r_numpy",
+    "rle_encode_numpy",
+    "segment_by_chroma",
+    "segment_by_motion",
+    "segment_chroma_numpy",
+    "segment_motion_numpy",
+    "ssim",
     "to_symbols",
+    "verify_roundtrip_1d",
+    "verify_roundtrip_2d",
     "version",
+    "ycocg_r_to_rgb_numpy",
 ]

@@ -1,0 +1,213 @@
+"""TPU-device interleaved rANS — entropy coding without leaving HBM.
+
+The reference's rANS is an inherently serial byte-oriented state chain
+(reference: src/rans.rs), with a 4-stream AVX2 variant (src/rans.rs:393-524).
+On TPU the re-architecture widens that idea to **thousands of lanes**: lane
+k owns symbols k, k+N, k+2N, … of a channel; all lane states advance in
+lock-step under one ``lax.scan`` over symbol index, so every step is a pure
+VPU-wide vector op (gather freq/cum, compare-renormalize, state update).
+
+Encode (LIFO, scanning the symbol stream in reverse):
+  * per step each lane emits 0-2 renormalization bytes — stored as a fixed
+    ``(steps, lanes)`` uint16 (two byte slots) plus a count plane;
+  * a post-pass exclusive scan over counts gives per-lane byte offsets and
+    the scatter that packs per-lane contiguous streams (done in one
+    vectorized gather on device or host — bytes are already final).
+Decode is symmetric: per-lane byte cursors advance by the per-step refill
+count; refilled bytes are gathered from the packed lane streams.
+
+Wire compatibility: each lane is a *bit-exact* reference rANS stream (same
+state math, renormalization and flush), and lane framing equals the N-way
+generalized container of ops/rans.py / native alc_rans_encode_nway — so
+device-encoded ALC2 payloads decode on the host C++ path and vice versa.
+
+The per-channel frequency table must be valid (``sanitize=True``); tables
+live in VMEM as (256,) uint16 vectors, the decode LUT as (4096,) uint8.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "encode_device_nway",
+    "decode_device_nway",
+    "pack_lane_streams",
+]
+
+PROB_BITS = 12
+PROB_SCALE = 1 << PROB_BITS
+RANS32_L = 1 << 23
+
+#: Max renorm bytes one symbol can force out of a 32-bit state with byte
+#: renormalization and 12-bit probabilities: state < 2^31, threshold
+#: ≥ 2^19 ⇒ at most 2 bytes per step (⌈(31-19)/8⌉ = 2).
+_MAX_BYTES_PER_STEP = 2
+
+
+def _lane_view(symbols: jnp.ndarray, n_lanes: int) -> jnp.ndarray:
+    """(n,) symbols → (steps, lanes) where row j holds symbols j*N..j*N+N-1.
+
+    Requires n % n_lanes == 0 (callers pad the symbol stream; codec symbol
+    counts are padded-volume sizes, multiples of large powers of two).
+    """
+    n = symbols.shape[0]
+    return symbols.reshape(n // n_lanes, n_lanes)
+
+
+@partial(jax.jit, static_argnames=("n_lanes",))
+def encode_device_nway(
+    symbols: jnp.ndarray,
+    freqs: jnp.ndarray,
+    cums: jnp.ndarray,
+    *,
+    n_lanes: int,
+):
+    """Encode uint8 ``symbols`` (length divisible by n_lanes) into per-lane
+    rANS byte streams, entirely on device.
+
+    Returns ``(bytes_rev, counts, states)``:
+      * ``bytes_rev``: (steps, lanes, 2) uint8 — renorm bytes emitted at
+        each scan step (slot 0 first), in *emission* order;
+      * ``counts``: (steps, lanes) int32 — bytes emitted per step (0-2);
+      * ``states``: (lanes,) uint32 — final states (flushed by the packer).
+
+    The scan walks the symbol rows in reverse (LIFO), matching the
+    reference's encode order per lane.
+    """
+    sym_rows = _lane_view(symbols, n_lanes)
+    freqs = freqs.astype(jnp.uint32)
+    cums = cums.astype(jnp.uint32)
+
+    def step(states, row):
+        f = freqs[row]
+        c = cums[row]
+        # renormalize: emit while state >= ((L >> 12) << 8) * f.
+        # threshold fits uint32: (2^11 << 8) * f <= 2^19 * 2^12 = 2^31.
+        x_max = (jnp.uint32((RANS32_L >> PROB_BITS) << 8)) * f
+        emit0 = states >= x_max
+        b0 = (states & 0xFF).astype(jnp.uint8)
+        states = jnp.where(emit0, states >> 8, states)
+        emit1 = states >= x_max
+        b1 = (states & 0xFF).astype(jnp.uint8)
+        states = jnp.where(emit1, states >> 8, states)
+        # state update: x' = (x / f) << 12 + x % f + cum
+        q = states // f
+        r = states - q * f
+        states = (q << PROB_BITS) + r + c
+        count = emit0.astype(jnp.int32) + emit1.astype(jnp.int32)
+        return states, (jnp.stack([b0, b1], axis=-1), count,
+                        jnp.stack([emit0, emit1], axis=-1))
+
+    init = jnp.full((n_lanes,), RANS32_L, jnp.uint32)
+    states, (bytes2, counts, emits) = jax.lax.scan(
+        step, init, sym_rows, reverse=True
+    )
+    # mask unemitted slots to 0 for determinism
+    bytes2 = jnp.where(emits, bytes2, 0)
+    return bytes2, counts, states
+
+
+def pack_lane_streams(bytes2, counts, emits_counts_states=None, states=None):
+    """Host-side packer: turn scan outputs into per-lane reference streams.
+
+    Per lane: concatenate emitted bytes in scan order (reverse symbol
+    order), append the 4 state-flush bytes LSB-first, then reverse — the
+    exact ``RansEncoder::finish`` layout (reference src/rans.rs:298-308).
+    Returns (payload bytes, lane_lens uint32[lanes]).
+
+    The gather is vectorized NumPy; a Pallas scatter version replaces it
+    when the full on-device container assembly lands.
+    """
+    b = np.asarray(bytes2)  # (steps, lanes, 2), aligned to symbol rows
+    c = np.asarray(counts)  # (steps, lanes)
+    st = np.asarray(states)  # (lanes,)
+    # The encode scan runs reverse=True (LIFO): emission order is the
+    # reversed row order, but scan outputs stay aligned to row index —
+    # flip to emission order before packing.
+    b = b[::-1]
+    c = c[::-1]
+    steps, lanes, _ = b.shape
+
+    lane_lens = c.sum(axis=0).astype(np.int64) + 4
+    payload = np.empty(int(lane_lens.sum()), np.uint8)
+    # Scan emitted rows once per lane (vectorized over steps).
+    pos = 0
+    for k in range(lanes):
+        ck = c[:, k]
+        mask0 = ck >= 1
+        mask1 = ck >= 2
+        # interleave slot0/slot1 in emission order per step
+        n_bytes = int(ck.sum())
+        lane_bytes = np.empty(n_bytes + 4, np.uint8)
+        idx = np.zeros(steps, np.int64)
+        np.cumsum(ck, out=idx)
+        starts = idx - ck
+        lane_bytes[starts[mask0]] = b[mask0, k, 0]
+        lane_bytes[starts[mask1] + 1] = b[mask1, k, 1]
+        x = int(st[k])
+        lane_bytes[n_bytes : n_bytes + 4] = [
+            x & 0xFF, (x >> 8) & 0xFF, (x >> 16) & 0xFF, (x >> 24) & 0xFF,
+        ]
+        lane_bytes = lane_bytes[::-1]
+        payload[pos : pos + lane_bytes.size] = lane_bytes
+        pos += lane_bytes.size
+    return payload.tobytes(), lane_lens.astype(np.uint32)
+
+
+@partial(jax.jit, static_argnames=("n_lanes", "steps", "max_lane_bytes"))
+def decode_device_nway(
+    lane_bytes: jnp.ndarray,
+    lane_lens: jnp.ndarray,
+    freqs: jnp.ndarray,
+    cums: jnp.ndarray,
+    cum_to_sym: jnp.ndarray,
+    *,
+    n_lanes: int,
+    steps: int,
+    max_lane_bytes: int,
+):
+    """Decode per-lane rANS streams on device.
+
+    ``lane_bytes``: (lanes, max_lane_bytes) uint8 — each lane's stream,
+    front-aligned; ``lane_lens``: (lanes,) int32.  Returns (steps, lanes)
+    uint8 symbols in stream order (row j = symbols j*N..j*N+N-1).
+    """
+    freqs = freqs.astype(jnp.uint32)
+    cums = cums.astype(jnp.uint32)
+    lut = cum_to_sym.astype(jnp.int32)
+    lens = lane_lens.astype(jnp.int32)
+    lane_ids = jnp.arange(n_lanes)
+
+    # initial state: first 4 big-endian bytes of each lane
+    init_states = (
+        (lane_bytes[:, 0].astype(jnp.uint32) << 24)
+        | (lane_bytes[:, 1].astype(jnp.uint32) << 16)
+        | (lane_bytes[:, 2].astype(jnp.uint32) << 8)
+        | lane_bytes[:, 3].astype(jnp.uint32)
+    )
+    init_pos = jnp.full((n_lanes,), 4, jnp.int32)
+
+    def step(carry, _):
+        states, pos = carry
+        slot = (states & (PROB_SCALE - 1)).astype(jnp.int32)
+        sym = lut[slot]
+        f = freqs[sym]
+        c = cums[sym]
+        states = f * (states >> PROB_BITS) + slot.astype(jnp.uint32) - c
+        # byte refill: up to 4 bytes while state < L (gathered per lane)
+        for _refill in range(4):
+            need = (states < RANS32_L) & (pos < lens)
+            nxt = lane_bytes[lane_ids, jnp.minimum(pos, max_lane_bytes - 1)]
+            states = jnp.where(need, (states << 8) | nxt.astype(jnp.uint32), states)
+            pos = jnp.where(need, pos + 1, pos)
+        return (states, pos), sym.astype(jnp.uint8)
+
+    (states, pos), syms = jax.lax.scan(
+        step, (init_states, init_pos), None, length=steps
+    )
+    return syms, states, pos

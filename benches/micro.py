@@ -1,0 +1,92 @@
+"""Micro-benchmarks mirroring the reference criterion suite
+(reference: benches/wavelet.rs): haar/cdf53 1D-1024, cdf53 2D-64², cdf53
+3D-32²×8, quantize-4096 — plus rANS encode/decode throughput.
+
+Usage: python benches/micro.py [--device cpu|tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def _time(fn, *args, iters=50, warmup=5):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--device", default=None, choices=["cpu", "tpu"])
+    args = parser.parse_args()
+    if args.device == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/alc_jax_cache")
+
+    import jax.numpy as jnp
+
+    from alice_codec_tpu.core import WaveletType
+    from alice_codec_tpu.ops import quant, rans
+    from alice_codec_tpu.ops.wavelet import _fwd1, _fwd2, _fwd3, _inv1
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    sig = jnp.asarray(rng.integers(-512, 512, 1024).astype(np.int32))
+    for wt, name in ((WaveletType.HAAR, "haar_1d_1024"),
+                     (WaveletType.CDF53, "cdf53_1d_1024")):
+        results[f"{name}_forward"] = _time(lambda s, w=wt: _fwd1(s, wavelet=w), sig)
+        results[f"{name}_inverse"] = _time(lambda s, w=wt: _inv1(s, wavelet=w), sig)
+
+    img = jnp.asarray(rng.integers(-512, 512, (64, 64)).astype(np.int32))
+    results["cdf53_2d_64x64_forward"] = _time(
+        lambda x: _fwd2(x, wavelet=WaveletType.CDF53), img
+    )
+
+    vol = jnp.asarray(rng.integers(-512, 512, (8, 32, 32)).astype(np.int32))
+    results["cdf53_3d_32x32x8_forward"] = _time(
+        lambda x: _fwd3(x, wavelet=WaveletType.CDF53), vol
+    )
+
+    import jax
+
+    coeffs = jnp.asarray(rng.integers(-1000, 1000, 4096).astype(np.int32))
+    qfn = jax.jit(lambda x: quant.quantize(x, 16, 16))
+    results["quantize_4096"] = _time(qfn, coeffs)
+
+    # host rANS throughput (MB/s of symbols)
+    syms = np.minimum(rng.geometric(0.2, size=4 << 20) - 1, 255).astype(np.uint8)
+    hist = np.bincount(syms, minlength=256).astype(np.uint32)
+    table = rans.FrequencyTable.from_histogram(hist)
+    t0 = time.perf_counter()
+    enc = rans.RansEncoder()
+    enc.encode_symbols(syms, table)
+    data = enc.finish()
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = rans.RansDecoder(data).decode_n(len(syms), table)
+    t_dec = time.perf_counter() - t0
+    assert np.array_equal(out, syms)
+    results["rans_encode_MBps"] = len(syms) / t_enc / 1e6
+    results["rans_decode_MBps"] = len(syms) / t_dec / 1e6
+
+    for k, v in results.items():
+        if k.endswith("MBps"):
+            print(f"{k:36s} {v:10.1f} MB/s")
+        else:
+            print(f"{k:36s} {v * 1e6:10.2f} µs")
+
+
+if __name__ == "__main__":
+    main()
