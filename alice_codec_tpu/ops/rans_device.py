@@ -112,6 +112,70 @@ def encode_device_nway(
     return bytes2, counts, states
 
 
+@partial(jax.jit, static_argnames=("n_lanes",))
+def encode_pack_device(
+    symbols: jnp.ndarray,
+    freqs: jnp.ndarray,
+    cums: jnp.ndarray,
+    *,
+    n_lanes: int,
+):
+    """Fused device encode **and pack**: symbols → final packed payload.
+
+    Combines :func:`encode_device_nway` with an on-device scatter that
+    assembles the per-lane reference streams (renorm bytes in emission
+    order + 4-byte state flush, whole lane reversed — the exact
+    ``RansEncoder::finish`` layout).  Only the compressed bytes ever leave
+    the device: callers fetch ``payload[:int(total)]`` (an on-device slice)
+    plus the (lanes,) length vector — shrinking device→host traffic by the
+    compression ratio instead of shipping raw symbols.
+
+    Returns (payload_padded, lane_lens, total):
+      * payload_padded: (2*n + 4*n_lanes,) uint8 — packed lane streams,
+        front-aligned; bytes past ``total`` are zero;
+      * lane_lens: (n_lanes,) int32 (includes the 4 flush bytes);
+      * total: scalar int32.
+    """
+    bytes2, counts, states = encode_device_nway(
+        symbols, freqs, cums, n_lanes=n_lanes
+    )
+    steps = counts.shape[0]
+    n = symbols.shape[0]
+    cap = 2 * n + 4 * n_lanes
+
+    # Emission order is reversed row order (the scan ran reverse=True).
+    c_em = counts[::-1]                      # (steps, lanes)
+    b_em = bytes2[::-1]                      # (steps, lanes, 2)
+    prefix = jnp.cumsum(c_em, axis=0) - c_em  # exclusive prefix per lane
+    tot = counts.sum(axis=0)                  # (lanes,) renorm bytes
+    lane_lens = tot + 4
+    lane_start = jnp.cumsum(lane_lens) - lane_lens  # exclusive
+    total = lane_lens.sum()
+
+    # Final position of emission byte p in lane k: start_k + len_k - 1 - p.
+    flip_base = lane_start + lane_lens - 1           # (lanes,)
+    dst0 = flip_base[None, :] - prefix               # slot 0 emission pos
+    dst1 = dst0 - 1                                  # slot 1 follows slot 0
+    emitted0 = c_em >= 1
+    emitted1 = c_em >= 2
+    dst0 = jnp.where(emitted0, dst0, cap)            # drop via OOB
+    dst1 = jnp.where(emitted1, dst1, cap)
+
+    payload = jnp.zeros((cap,), jnp.uint8)
+    payload = payload.at[dst0.reshape(-1)].set(
+        b_em[..., 0].reshape(-1), mode="drop"
+    )
+    payload = payload.at[dst1.reshape(-1)].set(
+        b_em[..., 1].reshape(-1), mode="drop"
+    )
+    # State flush: emission positions tot..tot+3 → final positions 3..0.
+    for b in range(4):
+        payload = payload.at[lane_start + (3 - b)].set(
+            ((states >> (8 * b)) & 0xFF).astype(jnp.uint8), mode="drop"
+        )
+    return payload, lane_lens.astype(jnp.int32), total.astype(jnp.int32)
+
+
 def pack_lane_streams(bytes2, counts, emits_counts_states=None, states=None):
     """Host-side packer: turn scan outputs into per-lane reference streams.
 

@@ -88,6 +88,34 @@ def _decode_batch_device(symbols, steps, *, wavelet_type, dims, padded, exact=Fa
     return jax.vmap(lambda s, st: fn(s, st, st))(symbols, steps)
 
 
+# Device entropy stages: vmap the per-channel coder over (chunk, channel).
+@partial(jax.jit, static_argnames=("n_lanes",))
+def _encode_pack_batch(symbols, freqs, cums, *, n_lanes):
+    from ..ops.rans_device import encode_pack_device
+
+    fn = partial(encode_pack_device, n_lanes=n_lanes)
+    return jax.vmap(lambda s, f, c: fn(s, f, c))(symbols, freqs, cums)
+
+
+@partial(jax.jit, static_argnames=("n_lanes", "steps", "max_lane_bytes"))
+def _decode_scan_batch(lane_mats, lane_lens, freqs, cums, luts, *,
+                       n_lanes, steps, max_lane_bytes):
+    from ..ops.rans_device import decode_device_nway
+
+    fn = partial(
+        decode_device_nway,
+        n_lanes=n_lanes,
+        steps=steps,
+        max_lane_bytes=max_lane_bytes,
+    )
+
+    def one(mat, lens, f, c, lut):
+        syms, _, _ = fn(mat, lens, f, c, lut)
+        return syms.reshape(-1)  # row j holds symbols j*N..j*N+N-1
+
+    return jax.vmap(one)(lane_mats, lane_lens, freqs, cums, luts)
+
+
 @dataclass
 class EncodedChunkStream:
     """A batch of compressed chunks in the ALC2 container."""
@@ -175,6 +203,7 @@ class BatchFrameEncoder:
         *,
         n_lanes: int = DEFAULT_LANES,
         mesh=None,
+        device_entropy: bool = False,
     ):
         from ..core import quality_to_step
 
@@ -184,6 +213,7 @@ class BatchFrameEncoder:
         )
         self.n_lanes = int(n_lanes)
         self.mesh = mesh
+        self.device_entropy = bool(device_entropy)
         self.step = quality_to_step(self.quality)
 
     def encode_device_stage(self, batch: np.ndarray):
@@ -202,66 +232,121 @@ class BatchFrameEncoder:
         )
 
     def encode(self, batch: np.ndarray) -> EncodedChunkStream:
-        """Encode a (B, T, H, W, 3) uint8 chunk batch into an ALC2 stream."""
+        """Encode a (B, T, H, W, 3) uint8 chunk batch into an ALC2 stream.
+
+        With ``device_entropy=True`` the rANS stage runs on the TPU too
+        (lax.scan interleaved coder + on-device stream packing) and only
+        compressed bytes cross the device boundary; otherwise symbols are
+        fetched and coded by the native OpenMP N-way coder.  Both produce
+        identical ALC2 payloads (lane streams are bit-equal).
+        """
         batch = np.asarray(batch, np.uint8)
         if batch.ndim != 5 or batch.shape[-1] != 3:
             raise InvalidBufferSize(5, batch.ndim)
         b, t, h, w, _ = batch.shape
         padded = padded_dims(w, h, t)
         padded_pixels = padded[0] * padded[1] * padded[2]
+        # ALC2 lane streams cover the symbol count padded up to a lane
+        # multiple (uniform per-lane counts — required by the device coder,
+        # harmless zeros for the host coder).
+        n_sym = -(-padded_pixels // self.n_lanes) * self.n_lanes
 
         symbols_dev, hists_dev = self.encode_device_stage(batch)
-        symbols = np.asarray(jax.device_get(symbols_dev))  # (B, 3, P)
         hists = np.asarray(jax.device_get(hists_dev)).astype(np.uint32)
 
-        lib = get_lib()
-        chunk_headers: list[list[ChannelHeader]] = []
+        tables = [
+            [FrequencyTable.from_histogram(hists[ci, ch], sanitize=True)
+             for ch in range(3)]
+            for ci in range(b)
+        ]
+
         lane_lens = np.zeros((b, 3, self.n_lanes), np.uint32)
-        payload = bytearray()
+        payloads: list[bytes] = []
+
+        if self.device_entropy:
+            freqs = jnp.asarray(
+                np.stack([[tables[ci][ch].freqs for ch in range(3)]
+                          for ci in range(b)]).reshape(b * 3, 256)
+            )
+            cums = jnp.asarray(
+                np.stack([[tables[ci][ch].cums for ch in range(3)]
+                          for ci in range(b)]).reshape(b * 3, 256)
+            )
+            syms_flat = symbols_dev.reshape(b * 3, padded_pixels)
+            if n_sym != padded_pixels:
+                syms_flat = jnp.pad(syms_flat, ((0, 0), (0, n_sym - padded_pixels)))
+            pay_dev, lens_dev, totals_dev = _encode_pack_batch(
+                syms_flat, freqs, cums, n_lanes=self.n_lanes
+            )
+            lens = np.asarray(jax.device_get(lens_dev)).reshape(b, 3, self.n_lanes)
+            totals = np.asarray(jax.device_get(totals_dev)).reshape(b, 3)
+            lane_lens[:] = lens
+            for ci in range(b):
+                for ch in range(3):
+                    i = ci * 3 + ch
+                    # on-device slice → only compressed bytes transfer
+                    payloads.append(
+                        np.asarray(
+                            jax.device_get(pay_dev[i, : int(totals[ci, ch])])
+                        ).tobytes()
+                    )
+        else:
+            symbols = np.asarray(jax.device_get(symbols_dev))  # (B, 3, P)
+            if n_sym != padded_pixels:
+                symbols = np.pad(symbols, ((0, 0), (0, 0), (0, n_sym - padded_pixels)))
+            lib = get_lib()
+            for ci in range(b):
+                for ch in range(3):
+                    table = tables[ci][ch]
+                    syms = np.ascontiguousarray(symbols[ci, ch])
+                    if lib is not None:
+                        out = np.empty(2 * n_sym + 8 * self.n_lanes, np.uint8)
+                        lens = np.zeros(self.n_lanes, np.uint32)
+                        total = lib.alc_rans_encode_nway(
+                            _ctypes_ptr(syms), n_sym, self.n_lanes,
+                            _ctypes_ptr(table.freqs), _ctypes_ptr(table.cums),
+                            _ctypes_ptr(out), _ctypes_ptr(lens),
+                        )
+                        payloads.append(out[:total].tobytes())
+                        lane_lens[ci, ch] = lens
+                    else:
+                        compressed, lens = _nway_encode_py(syms, table, self.n_lanes)
+                        payloads.append(compressed)
+                        lane_lens[ci, ch] = lens
+
+        chunk_headers: list[list[ChannelHeader]] = []
         for ci in range(b):
             headers = []
             for ch in range(3):
-                # ALC2 always uses the sanitized table: valid for every
-                # histogram, so streams never corrupt (our format — no
-                # reference-interop constraint).
-                table = FrequencyTable.from_histogram(hists[ci, ch], sanitize=True)
-                syms = np.ascontiguousarray(symbols[ci, ch])
-                if lib is not None:
-                    out = np.empty(2 * len(syms) + 8 * self.n_lanes, np.uint8)
-                    lens = np.zeros(self.n_lanes, np.uint32)
-                    total = lib.alc_rans_encode_nway(
-                        _ctypes_ptr(syms), len(syms), self.n_lanes,
-                        _ctypes_ptr(table.freqs), _ctypes_ptr(table.cums),
-                        _ctypes_ptr(out), _ctypes_ptr(lens),
-                    )
-                    compressed = out[:total].tobytes()
-                    lane_lens[ci, ch] = lens
-                else:
-                    compressed, lens = _nway_encode_py(syms, table, self.n_lanes)
-                    lane_lens[ci, ch] = lens
                 headers.append(
                     ChannelHeader(
-                        compressed_len=len(compressed),
+                        compressed_len=len(payloads[ci * 3 + ch]),
                         quant_step=self.step,
                         quant_dead_zone=self.step,
                         num_symbols=padded_pixels,
                         histogram=hists[ci, ch],
                     )
                 )
-                payload += compressed
             chunk_headers.append(headers)
 
         return EncodedChunkStream(
             w, h, t, self.wavelet_type, self.n_lanes,
-            chunk_headers, lane_lens, bytes(payload),
+            chunk_headers, lane_lens, b"".join(payloads),
         )
 
 
 class BatchFrameDecoder:
-    """Chunk-batched TPU decoder for ALC2 streams."""
+    """Chunk-batched TPU decoder for ALC2 streams.
 
-    def __init__(self, *, mesh=None):
+    ``device_entropy=True`` runs the rANS decode on the TPU as well
+    (symbols never visit the host): compressed lane streams are uploaded,
+    the scan coder reconstructs symbols in HBM and the dequantize →
+    inverse-wavelet → color stage consumes them directly.
+    """
+
+    def __init__(self, *, mesh=None, device_entropy: bool = False):
         self.mesh = mesh
+        self.device_entropy = bool(device_entropy)
 
     def decode(self, stream: EncodedChunkStream, *, exact: bool = False) -> np.ndarray:
         """Decode to a (B, T, H, W, 3) uint8 batch."""
@@ -269,12 +354,14 @@ class BatchFrameDecoder:
         padded = padded_dims(w, h, t)
         padded_pixels = padded[0] * padded[1] * padded[2]
         b = stream.n_chunks
+        n_lanes = stream.n_lanes
+        n_sym = -(-padded_pixels // n_lanes) * n_lanes
 
-        lib = get_lib()
-        symbols = np.empty((b, 3, padded_pixels), np.uint8)
         steps = np.empty((b, 3), np.int32)
-        offset = 0
         payload = np.frombuffer(stream.payload, np.uint8)
+        tables = []
+        spans = []
+        offset = 0
         for ci in range(b):
             for ch in range(3):
                 hdr = stream.chunk_headers[ci][ch]
@@ -283,25 +370,63 @@ class BatchFrameDecoder:
                         f"chunk {ci} channel {ch}: num_symbols mismatch"
                     )
                 end = offset + hdr.compressed_len
-                data = np.ascontiguousarray(payload[offset:end])
+                if end > len(payload):
+                    raise InvalidBitstream(
+                        f"chunk {ci} channel {ch}: compressed data overrun"
+                    )
+                spans.append((offset, end))
                 offset = end
-                table = FrequencyTable.from_histogram(hdr.histogram, sanitize=True)
+                tables.append(
+                    FrequencyTable.from_histogram(hdr.histogram, sanitize=True)
+                )
+                steps[ci, ch] = hdr.quant_step
+
+        if self.device_entropy:
+            max_len = int(stream.lane_lens.max()) if stream.lane_lens.size else 4
+            lane_mats = np.zeros((b * 3, n_lanes, max_len), np.uint8)
+            for i, (s0, s1) in enumerate(spans):
+                data = payload[s0:s1]
+                lens = stream.lane_lens.reshape(b * 3, n_lanes)[i]
+                off = 0
+                for k in range(n_lanes):
+                    ln = int(lens[k])
+                    lane_mats[i, k, :ln] = data[off : off + ln]
+                    off += ln
+            sym_dev = _decode_scan_batch(
+                jnp.asarray(lane_mats),
+                jnp.asarray(
+                    stream.lane_lens.reshape(b * 3, n_lanes).astype(np.int32)
+                ),
+                jnp.asarray(np.stack([tb.freqs for tb in tables])),
+                jnp.asarray(np.stack([tb.cums for tb in tables])),
+                jnp.asarray(np.stack([tb.cum_to_sym for tb in tables])),
+                n_lanes=n_lanes,
+                steps=n_sym // n_lanes,
+                max_lane_bytes=max_len,
+            )
+            sym_dev = sym_dev[:, :padded_pixels].reshape(b, 3, padded_pixels)
+        else:
+            lib = get_lib()
+            symbols = np.empty((b, 3, n_sym), np.uint8)
+            for i, (s0, s1) in enumerate(spans):
+                ci, ch = divmod(i, 3)
+                data = np.ascontiguousarray(payload[s0:s1])
+                table = tables[i]
                 out = symbols[ci, ch]  # contiguous trailing-axis view
                 if lib is not None:
                     lens = np.ascontiguousarray(stream.lane_lens[ci, ch])
                     lib.alc_rans_decode_nway(
-                        _ctypes_ptr(data), padded_pixels, stream.n_lanes,
+                        _ctypes_ptr(data), n_sym, n_lanes,
                         _ctypes_ptr(lens), _ctypes_ptr(table.freqs),
                         _ctypes_ptr(table.cums), _ctypes_ptr(table.cum_to_sym),
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     )
                 else:
                     symbols[ci, ch] = _nway_decode_py(
-                        data, padded_pixels, stream.lane_lens[ci, ch], table
+                        data, n_sym, stream.lane_lens[ci, ch], table
                     )
-                steps[ci, ch] = hdr.quant_step
+            sym_dev = jnp.asarray(symbols[:, :, :padded_pixels])
 
-        sym_dev = jnp.asarray(symbols)
         steps_dev = jnp.asarray(steps)
         if self.mesh is not None:
             sym_dev = jax.device_put(sym_dev, batch_sharding(self.mesh))

@@ -120,3 +120,39 @@ def test_nway_python_fallback_matches_native(monkeypatch):
     assert np.array_equal(native_stream.lane_lens, py_stream.lane_lens)
     out = BatchFrameDecoder().decode(py_stream)
     assert out.shape == arr.shape
+
+
+def test_device_entropy_matches_host_payload():
+    """device_entropy=True must produce byte-identical ALC2 payloads."""
+    batch = _batch(b=2, t=2, h=8, w=8)
+    host = BatchFrameEncoder(quality=85, n_lanes=8).encode(batch)
+    dev = BatchFrameEncoder(quality=85, n_lanes=8, device_entropy=True).encode(batch)
+    assert np.array_equal(dev.lane_lens, host.lane_lens)
+    assert dev.payload == host.payload
+    assert dev.to_bytes() == host.to_bytes()
+
+
+def test_device_entropy_decode_roundtrip():
+    batch = _batch(b=2, t=2, h=8, w=8, seed=3)
+    stream = BatchFrameEncoder(quality=100, n_lanes=8, device_entropy=True).encode(batch)
+    # device-entropy decode
+    out_dev = BatchFrameDecoder(device_entropy=True).decode(stream, exact=True)
+    assert np.array_equal(out_dev, batch)
+    # cross: host decode of device-encoded stream
+    out_host = BatchFrameDecoder().decode(stream, exact=True)
+    assert np.array_equal(out_host, batch)
+    # cross: device decode of host-encoded stream
+    stream_h = BatchFrameEncoder(quality=100, n_lanes=8).encode(batch)
+    out_x = BatchFrameDecoder(device_entropy=True).decode(stream_h, exact=True)
+    assert np.array_equal(out_x, batch)
+
+
+def test_lane_multiple_padding():
+    """Symbol counts not divisible by n_lanes pad uniformly (both coders)."""
+    batch = _batch(b=1, t=2, h=6, w=6, seed=4)  # padded_pixels=72, lanes=16
+    host = BatchFrameEncoder(quality=90, n_lanes=16).encode(batch)
+    dev = BatchFrameEncoder(quality=90, n_lanes=16, device_entropy=True).encode(batch)
+    assert host.payload == dev.payload
+    out1 = BatchFrameDecoder().decode(host)
+    out2 = BatchFrameDecoder(device_entropy=True).decode(dev)
+    assert np.array_equal(out1, out2)
