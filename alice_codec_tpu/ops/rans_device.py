@@ -263,8 +263,10 @@ def decode_device_nway(
         f = freqs[sym]
         c = cums[sym]
         states = f * (states >> PROB_BITS) + slot.astype(jnp.uint32) - c
-        # byte refill: up to 4 bytes while state < L (gathered per lane)
-        for _refill in range(4):
+        # Byte refill while state < L.  Two iterations always suffice: the
+        # updated state is ≥ f·(x>>12) ≥ 2^11, so at most ⌈(23-11)/8⌉ = 2
+        # bytes are needed to re-enter [L, ∞).
+        for _refill in range(2):
             need = (states < RANS32_L) & (pos < lens)
             nxt = lane_bytes[lane_ids, jnp.minimum(pos, max_lane_bytes - 1)]
             states = jnp.where(need, (states << 8) | nxt.astype(jnp.uint32), states)

@@ -384,14 +384,19 @@ class BatchFrameDecoder:
         if self.device_entropy:
             max_len = int(stream.lane_lens.max()) if stream.lane_lens.size else 4
             lane_mats = np.zeros((b * 3, n_lanes, max_len), np.uint8)
+            col = np.arange(max_len)
             for i, (s0, s1) in enumerate(spans):
+                # vectorized ragged→padded: one gather per channel
                 data = payload[s0:s1]
-                lens = stream.lane_lens.reshape(b * 3, n_lanes)[i]
-                off = 0
-                for k in range(n_lanes):
-                    ln = int(lens[k])
-                    lane_mats[i, k, :ln] = data[off : off + ln]
-                    off += ln
+                lens = stream.lane_lens.reshape(b * 3, n_lanes)[i].astype(np.int64)
+                starts = np.cumsum(lens) - lens
+                idx = starts[:, None] + col[None, :]
+                mask = col[None, :] < lens[:, None]
+                np.copyto(
+                    lane_mats[i],
+                    data[np.minimum(idx, max(len(data) - 1, 0))],
+                    where=mask,
+                )
             sym_dev = _decode_scan_batch(
                 jnp.asarray(lane_mats),
                 jnp.asarray(

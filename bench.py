@@ -48,8 +48,15 @@ def main() -> None:
 
     batch = _test_chunks(b, t, h, w)
 
-    encoder = BatchFrameEncoder(quality=90, wavelet="cdf53")
-    decoder = BatchFrameDecoder()
+    # device_entropy: rANS runs on-chip and only compressed bytes cross the
+    # host boundary (the TPU-native path); ALC_BENCH_HOST_ENTROPY=1 benches
+    # the OpenMP host coder instead.
+    device_entropy = not os.environ.get("ALC_BENCH_HOST_ENTROPY")
+    lanes = int(os.environ.get("ALC_BENCH_LANES", "2048"))
+    encoder = BatchFrameEncoder(
+        quality=90, wavelet="cdf53", device_entropy=device_entropy, n_lanes=lanes
+    )
+    decoder = BatchFrameDecoder(device_entropy=device_entropy)
 
     # Warmup (compile both device programs + native build).
     warm = encoder.encode(batch[:1])

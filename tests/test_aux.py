@@ -250,3 +250,24 @@ def test_cli_bad_input(tmp_path):
     assert cli.main(
         ["encode", str(small), "-o", str(tmp_path / "y"), "-W", "8", "-H", "8", "-f", "2"]
     ) == 1
+
+
+# ── profiling ───────────────────────────────────────────────────
+
+
+def test_stage_timer():
+    import time as _time
+
+    from alice_codec_tpu.profiling import StageTimer
+
+    timer = StageTimer()
+    with timer.stage("encode"):
+        _time.sleep(0.01)
+    with timer.stage("encode"):
+        _time.sleep(0.01)
+    assert timer.counts["encode"] == 2
+    assert timer.average_us("encode") >= 10_000
+    m = timer.as_metrics("encode", timestamp_ms=1234)
+    assert m.encode_time_us >= 10_000
+    assert "encode" in timer.report()
+    assert timer.average_us("missing") == 0.0
