@@ -112,13 +112,14 @@ def encode_device_nway(
     return bytes2, counts, states
 
 
-@partial(jax.jit, static_argnames=("n_lanes",))
+@partial(jax.jit, static_argnames=("n_lanes", "use_pallas"))
 def encode_pack_device(
     symbols: jnp.ndarray,
     freqs: jnp.ndarray,
     cums: jnp.ndarray,
     *,
     n_lanes: int,
+    use_pallas: bool = False,
 ):
     """Fused device encode **and pack**: symbols → final packed payload.
 
@@ -136,9 +137,16 @@ def encode_pack_device(
       * lane_lens: (n_lanes,) int32 (includes the 4 flush bytes);
       * total: scalar int32.
     """
-    bytes2, counts, states = encode_device_nway(
-        symbols, freqs, cums, n_lanes=n_lanes
-    )
+    if use_pallas:
+        from .pallas.rans_kernel import encode_nway_pallas
+
+        bytes2, counts, states = encode_nway_pallas(
+            symbols, freqs, cums, n_lanes=n_lanes
+        )
+    else:
+        bytes2, counts, states = encode_device_nway(
+            symbols, freqs, cums, n_lanes=n_lanes
+        )
     steps = counts.shape[0]
     n = symbols.shape[0]
     cap = 2 * n + 4 * n_lanes

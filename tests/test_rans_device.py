@@ -109,3 +109,33 @@ def test_device_decode_host_encoded():
         max_lane_bytes=max_len,
     )
     assert np.array_equal(np.asarray(decoded).reshape(-1), syms)
+
+
+def test_pallas_encode_matches_scan_interpret():
+    """Pallas kernel (interpret mode) is bit-identical to the scan coder."""
+    import jax.numpy as jnp
+
+    from alice_codec_tpu.ops.pallas.rans_kernel import TILE_S, encode_nway_pallas
+
+    rng = np.random.default_rng(5)
+    n_lanes = 8
+    n = n_lanes * TILE_S
+    syms = np.minimum(rng.geometric(0.3, size=n) - 1, 255).astype(np.uint8)
+    table = _sanitized_table(syms)
+    b2p, cntp, stp = encode_nway_pallas(
+        jnp.asarray(syms), jnp.asarray(table.freqs), jnp.asarray(table.cums),
+        n_lanes=n_lanes, interpret=True,
+    )
+    b2s, cnts, sts = rans_device.encode_device_nway(
+        jnp.asarray(syms), jnp.asarray(table.freqs), jnp.asarray(table.cums),
+        n_lanes=n_lanes,
+    )
+    assert np.array_equal(np.asarray(b2p), np.asarray(b2s))
+    assert np.array_equal(np.asarray(cntp), np.asarray(cnts))
+    assert np.array_equal(np.asarray(stp), np.asarray(sts))
+    # misaligned symbol counts are rejected loudly
+    with pytest.raises(ValueError):
+        encode_nway_pallas(
+            jnp.asarray(syms[: n - 8]), jnp.asarray(table.freqs),
+            jnp.asarray(table.cums), n_lanes=n_lanes, interpret=True,
+        )
