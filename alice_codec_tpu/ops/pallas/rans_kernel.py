@@ -31,8 +31,16 @@ PROB_BITS = 12
 PROB_SCALE = 1 << PROB_BITS
 RANS32_L = 1 << 23
 
-#: symbol rows per grid step.
+#: preferred symbol rows per grid step (actual tile = largest divisor of
+#: the step count <= TILE_S, so any codec shape works without padding).
 TILE_S = 256
+
+
+def _pick_tile(steps: int) -> int:
+    for t in range(min(TILE_S, steps), 0, -1):
+        if steps % t == 0:
+            return t
+    return 1
 
 
 def _encode_kernel(sym_ref, freq_ref, cum_ref, b0_ref, b1_ref, cnt_ref,
@@ -80,18 +88,18 @@ def encode_nway_pallas(
     """Pallas version of :func:`ops.rans_device.encode_device_nway`.
 
     Returns ``(bytes2, counts, states)`` with identical layout/values.
-    Requires ``len(symbols) % (n_lanes * TILE_S) == 0`` (codec symbol
-    counts are padded-volume sizes; pad the stream otherwise).
+    Requires ``len(symbols) % n_lanes == 0`` (pad the stream otherwise).
     """
     n = symbols.shape[0]
     steps = n // n_lanes
-    if n % n_lanes or steps % TILE_S:
+    if n % n_lanes:
         raise ValueError(
-            f"symbol count {n} must be a multiple of n_lanes*TILE_S "
-            f"({n_lanes}*{TILE_S}); pad the symbol stream"
+            f"symbol count {n} must be a multiple of n_lanes ({n_lanes}); "
+            "pad the symbol stream"
         )
     sym_rows = symbols.reshape(steps, n_lanes)
-    num_tiles = steps // TILE_S
+    tile = _pick_tile(steps)
+    num_tiles = steps // tile
 
     freqs32 = freqs.astype(jnp.uint32).reshape(1, 256)
     cums32 = cums.astype(jnp.uint32).reshape(1, 256)
@@ -109,14 +117,14 @@ def encode_nway_pallas(
         ),
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_S, n_lanes), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_S, n_lanes), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_S, n_lanes), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_S, n_lanes), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((n_lanes,), jnp.uint32)],

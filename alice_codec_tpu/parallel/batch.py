@@ -88,13 +88,16 @@ def _decode_batch_device(symbols, steps, *, wavelet_type, dims, padded, exact=Fa
     return jax.vmap(lambda s, st: fn(s, st, st))(symbols, steps)
 
 
-# Device entropy stages: vmap the per-channel coder over (chunk, channel).
-@partial(jax.jit, static_argnames=("n_lanes",))
-def _encode_pack_batch(symbols, freqs, cums, *, n_lanes):
+# Device entropy stages over (chunk, channel).  lax.map (sequential) rather
+# than vmap: each channel's coder already saturates the chip, and the pack
+# stage's scatter intermediates are ~6x the symbol bytes — serializing
+# channels keeps peak HBM flat instead of multiplying it by B*3.
+@partial(jax.jit, static_argnames=("n_lanes", "use_pallas"))
+def _encode_pack_batch(symbols, freqs, cums, *, n_lanes, use_pallas=False):
     from ..ops.rans_device import encode_pack_device
 
-    fn = partial(encode_pack_device, n_lanes=n_lanes)
-    return jax.vmap(lambda s, f, c: fn(s, f, c))(symbols, freqs, cums)
+    fn = partial(encode_pack_device, n_lanes=n_lanes, use_pallas=use_pallas)
+    return jax.lax.map(lambda args: fn(*args), (symbols, freqs, cums))
 
 
 @partial(jax.jit, static_argnames=("n_lanes", "steps", "max_lane_bytes"))

@@ -133,9 +133,21 @@ def test_pallas_encode_matches_scan_interpret():
     assert np.array_equal(np.asarray(b2p), np.asarray(b2s))
     assert np.array_equal(np.asarray(cntp), np.asarray(cnts))
     assert np.array_equal(np.asarray(stp), np.asarray(sts))
-    # misaligned symbol counts are rejected loudly
+    # non-lane-multiple symbol counts are rejected loudly
     with pytest.raises(ValueError):
         encode_nway_pallas(
-            jnp.asarray(syms[: n - 8]), jnp.asarray(table.freqs),
+            jnp.asarray(syms[: n - 3]), jnp.asarray(table.freqs),
             jnp.asarray(table.cums), n_lanes=n_lanes, interpret=True,
         )
+    # odd step counts use a smaller divisor tile, still bit-exact
+    n2 = n_lanes * 81
+    b2q, cntq, stq = encode_nway_pallas(
+        jnp.asarray(syms[:n2]), jnp.asarray(table.freqs),
+        jnp.asarray(table.cums), n_lanes=n_lanes, interpret=True,
+    )
+    b2r, cntr, str_ = rans_device.encode_device_nway(
+        jnp.asarray(syms[:n2]), jnp.asarray(table.freqs),
+        jnp.asarray(table.cums), n_lanes=n_lanes,
+    )
+    assert np.array_equal(np.asarray(b2q), np.asarray(b2r))
+    assert np.array_equal(np.asarray(stq), np.asarray(str_))
