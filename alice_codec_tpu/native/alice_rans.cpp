@@ -134,11 +134,12 @@ int64_t alc_rans_encode_put(uint32_t* state, const uint8_t* syms, int64_t n,
             out[pos++] = static_cast<uint8_t>(x & 0xFF);
             x >>= 8;
         }
-        uint32_t slot = (x % f) + cum[s];
+        uint32_t q = x / f;
+        uint32_t slot = (x - q * f) + cum[s];
         // The decoder reads slot & 4095; a slot past PROB_SCALE means the
         // (reference-exact) table cannot represent this stream losslessly.
         if (slot >= PROB_SCALE) ovf = 1;
-        x = ((x / f) << PROB_BITS) + slot;
+        x = (q << PROB_BITS) + slot;
     }
     *state = x;
     if (overflowed) *overflowed |= ovf;
@@ -218,7 +219,8 @@ int64_t alc_rans_encode4(const uint8_t* syms, int64_t n,
             streams[k].push_back(static_cast<uint8_t>(x & 0xFF));
             x >>= 8;
         }
-        x = ((x / f) << PROB_BITS) + (x % f) + cum[s];
+        uint32_t q = x / f;
+        x = (q << PROB_BITS) + (x - q * f) + cum[s];
     }
 
     int64_t pos = 32;  // header written below
@@ -317,7 +319,8 @@ int64_t alc_rans_encode_nway(const uint8_t* syms, int64_t n, int32_t n_lanes,
                 stream.push_back(static_cast<uint8_t>(x & 0xFF));
                 x >>= 8;
             }
-            x = ((x / f) << PROB_BITS) + (x % f) + cum[s];
+            uint32_t q = x / f;
+            x = (q << PROB_BITS) + (x - q * f) + cum[s];
         }
         for (int b = 0; b < 4; ++b)
             stream.push_back(static_cast<uint8_t>((x >> (8 * b)) & 0xFF));
