@@ -224,6 +224,54 @@ def inverse_3d(volume: jnp.ndarray, wavelet: WaveletType, *, exact: bool = False
     return volume
 
 
+def extract_subbands_3d(volume: jnp.ndarray) -> dict:
+    """Split a forward-3D-transformed volume into its 8 sub-bands.
+
+    After one decomposition level the layout along each axis is
+    ``[low | high]`` (reference src/wavelet.rs:392-438 → §result comment:
+    LLL..HHH).  ``volume``: (..., T, H, W) with even dims.  Returns
+    ``{SubBand3D: (..., T/2, H/2, W/2) array}`` views; letters are (y, x, t)
+    per the reference enum (src/lib.rs:113-132).
+    """
+    from ..core import SubBand3D
+
+    t, h, w = volume.shape[-3:]
+    ht, hh, hw = t // 2, h // 2, w // 2
+    out = {}
+    for band in SubBand3D:
+        yh = (int(band) >> 2) & 1  # y high?
+        xh = (int(band) >> 1) & 1  # x high?
+        th = int(band) & 1         # t high?
+        out[band] = volume[
+            ...,
+            th * ht : (th + 1) * ht,
+            yh * hh : (yh + 1) * hh,
+            xh * hw : (xh + 1) * hw,
+        ]
+    return out
+
+
+def combine_subbands_3d(bands: dict, *, like: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Inverse of :func:`extract_subbands_3d`: reassemble the full volume."""
+    from ..core import SubBand3D
+
+    sample = bands[SubBand3D.LLL]
+    ht, hh, hw = sample.shape[-3:]
+    shape = (*sample.shape[:-3], 2 * ht, 2 * hh, 2 * hw)
+    vol = jnp.zeros(shape, sample.dtype)
+    for band, data in bands.items():
+        yh = (int(band) >> 2) & 1
+        xh = (int(band) >> 1) & 1
+        th = int(band) & 1
+        vol = vol.at[
+            ...,
+            th * ht : (th + 1) * ht,
+            yh * hh : (yh + 1) * hh,
+            xh * hw : (xh + 1) * hw,
+        ].set(data)
+    return vol
+
+
 # Module-level jitted entry points (cached across calls).
 _fwd1 = jax.jit(forward_1d, static_argnames=("wavelet",))
 _inv1 = jax.jit(inverse_1d, static_argnames=("wavelet", "exact"))

@@ -133,3 +133,21 @@ def test_odd_length_matches_oracle(wt, name, n):
     assert np.array_equal(fwd, oracle.wavelet_forward_1d(sig, name))
     inv = np.asarray(wavelet.inverse_1d(fwd, wt))
     assert np.array_equal(inv, oracle.wavelet_inverse_1d(fwd, name))
+
+
+def test_subband_extract_combine_roundtrip():
+    from alice_codec_tpu.core import SubBand3D
+    from alice_codec_tpu.ops.wavelet import combine_subbands_3d, extract_subbands_3d
+
+    rng = np.random.default_rng(99)
+    vol = rng.integers(-500, 500, size=(4, 8, 6)).astype(np.int32)
+    coeffs = wavelet.forward_3d(vol, WaveletType.CDF53)
+    bands = extract_subbands_3d(coeffs)
+    assert set(bands) == set(SubBand3D)
+    assert bands[SubBand3D.LLL].shape == (2, 4, 3)
+    back = combine_subbands_3d(bands)
+    assert np.array_equal(np.asarray(back), np.asarray(coeffs))
+    # temporal-high bands occupy the high-T half (bit 0 = t per SubBand3D)
+    assert np.array_equal(
+        np.asarray(bands[SubBand3D.LLH]), np.asarray(coeffs)[2:, :4, :3]
+    )
