@@ -37,25 +37,41 @@ TILE_S = 256
 
 
 def _pick_tile(steps: int) -> int:
-    for t in range(min(TILE_S, steps), 0, -1):
+    """Largest divisor of ``steps`` ≤ TILE_S that satisfies the TPU block
+    constraint (second-to-last dim divisible by 8, or equal to the array
+    dim)."""
+    if steps <= TILE_S:
+        return steps  # block == full array dim is always allowed
+    for t in range(TILE_S - TILE_S % 8, 7, -8):
         if steps % t == 0:
             return t
-    return 1
+    # no 8-divisible divisor ≤ TILE_S: fall back to any divisor tile only
+    # if it equals the full dim (handled above); otherwise signal clearly.
+    raise ValueError(
+        f"no Pallas-compatible tile for {steps} steps; "
+        "use the lax.scan coder (use_pallas=False) for this shape"
+    )
 
 
-def _encode_kernel(sym_ref, freq_ref, cum_ref, b0_ref, b1_ref, cnt_ref,
-                   states_out_ref, states):
+def _encode_kernel(sym_ref, table_ref, packed_ref, states_out_ref, states):
     @pl.when(pl.program_id(0) == 0)
     def _():
         states[:] = jnp.full_like(states[:], RANS32_L)
 
     tile_rows = sym_ref.shape[0]
+    n_lanes = sym_ref.shape[1]
+    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, 256), 1)
 
     def body(i, _):
         r = tile_rows - 1 - i  # reverse within the tile (LIFO)
-        row = sym_ref[r, :].astype(jnp.int32)
-        f = freq_ref[0, :][row].astype(jnp.uint32)
-        c = cum_ref[0, :][row].astype(jnp.uint32)
+        row = sym_ref[r, :]  # int32 (u8 dynamic row reads unsupported in Mosaic)
+        # table lookup as one-hot x (256,2) matmul — the MXU-native gather
+        # (values <= 4096 are exact in f32)
+        onehot = (row[:, None] == sym_iota).astype(jnp.float32)
+        fc = jnp.dot(onehot, table_ref[:, :], preferred_element_type=jnp.float32)
+        # Mosaic has no f32->u32 cast; round-trip through int32.
+        f = fc[:, 0].astype(jnp.int32).astype(jnp.uint32)
+        c = fc[:, 1].astype(jnp.int32).astype(jnp.uint32)
         x = states[:]
         x_max = jnp.uint32((RANS32_L >> PROB_BITS) << 8) * f
         emit0 = x >= x_max
@@ -66,9 +82,12 @@ def _encode_kernel(sym_ref, freq_ref, cum_ref, b0_ref, b1_ref, cnt_ref,
         x = jnp.where(emit1, x >> 8, x)
         q = x // f
         states[:] = (q << PROB_BITS) + (x - q * f) + c
-        b0_ref[r, :] = jnp.where(emit0, b0, 0)
-        b1_ref[r, :] = jnp.where(emit1, b1, 0)
-        cnt_ref[r, :] = emit0.astype(jnp.int32) + emit1.astype(jnp.int32)
+        # single int32 plane: b0 | b1<<8 | count<<16 (dynamic-row u8 stores
+        # are unsupported in Mosaic)
+        cnt = emit0.astype(jnp.int32) + emit1.astype(jnp.int32)
+        pb0 = jnp.where(emit0, b0, 0).astype(jnp.int32)
+        pb1 = jnp.where(emit1, b1, 0).astype(jnp.int32)
+        packed_ref[r, :] = pb0 | (pb1 << 8) | (cnt << 16)
         return 0
 
     jax.lax.fori_loop(0, tile_rows, body, 0)
@@ -97,39 +116,39 @@ def encode_nway_pallas(
             f"symbol count {n} must be a multiple of n_lanes ({n_lanes}); "
             "pad the symbol stream"
         )
-    sym_rows = symbols.reshape(steps, n_lanes)
+    sym_rows = symbols.reshape(steps, n_lanes).astype(jnp.int32)
     tile = _pick_tile(steps)
     num_tiles = steps // tile
 
-    freqs32 = freqs.astype(jnp.uint32).reshape(1, 256)
-    cums32 = cums.astype(jnp.uint32).reshape(1, 256)
+    table = jnp.stack(
+        [freqs.astype(jnp.float32), cums.astype(jnp.float32)], axis=-1
+    )  # (256, 2)
 
     def rev(i):
         return (num_tiles - 1 - i, 0)
 
-    b0, b1, cnt, states = pl.pallas_call(
+    packed, states = pl.pallas_call(
         _encode_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((steps, n_lanes), jnp.uint8),
-            jax.ShapeDtypeStruct((steps, n_lanes), jnp.uint8),
             jax.ShapeDtypeStruct((steps, n_lanes), jnp.int32),
             jax.ShapeDtypeStruct((1, n_lanes), jnp.uint32),
         ),
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((n_lanes,), jnp.uint32)],
         interpret=interpret,
-    )(sym_rows, freqs32, cums32)
+    )(sym_rows, table)
 
-    bytes2 = jnp.stack([b0, b1], axis=-1)
+    bytes2 = jnp.stack(
+        [(packed & 0xFF).astype(jnp.uint8), ((packed >> 8) & 0xFF).astype(jnp.uint8)],
+        axis=-1,
+    )
+    cnt = packed >> 16
     return bytes2, cnt, states[0]

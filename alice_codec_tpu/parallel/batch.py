@@ -219,12 +219,17 @@ class BatchFrameEncoder:
         self.device_entropy = bool(device_entropy)
         self.step = quality_to_step(self.quality)
 
-    def encode_device_stage(self, batch: np.ndarray):
-        """Run the fused device stage only: returns (symbols, histograms)."""
+    def encode_device_stage(self, batch):
+        """Run the fused device stage only: returns (symbols, histograms).
+
+        ``batch`` may be a NumPy array (uploaded here) or an already
+        device-resident jax.Array (no re-upload — the production IO path
+        stages input once via DMA).
+        """
         b, t, h, w, _ = batch.shape
         padded = padded_dims(w, h, t)
-        x = jnp.asarray(batch)
-        if self.mesh is not None:
+        x = batch if isinstance(batch, jax.Array) else jnp.asarray(batch)
+        if self.mesh is not None and not isinstance(batch, jax.Array):
             x = jax.device_put(x, batch_sharding(self.mesh))
         return _encode_batch_device(
             x,
@@ -234,7 +239,7 @@ class BatchFrameEncoder:
             padded=padded,
         )
 
-    def encode(self, batch: np.ndarray) -> EncodedChunkStream:
+    def encode(self, batch) -> EncodedChunkStream:
         """Encode a (B, T, H, W, 3) uint8 chunk batch into an ALC2 stream.
 
         With ``device_entropy=True`` the rANS stage runs on the TPU too
@@ -242,8 +247,11 @@ class BatchFrameEncoder:
         compressed bytes cross the device boundary; otherwise symbols are
         fetched and coded by the native OpenMP N-way coder.  Both produce
         identical ALC2 payloads (lane streams are bit-equal).
+
+        ``batch`` may be NumPy or an already device-resident jax.Array.
         """
-        batch = np.asarray(batch, np.uint8)
+        if not isinstance(batch, jax.Array):
+            batch = np.asarray(batch, np.uint8)
         if batch.ndim != 5 or batch.shape[-1] != 3:
             raise InvalidBufferSize(5, batch.ndim)
         b, t, h, w, _ = batch.shape
@@ -351,8 +359,13 @@ class BatchFrameDecoder:
         self.mesh = mesh
         self.device_entropy = bool(device_entropy)
 
-    def decode(self, stream: EncodedChunkStream, *, exact: bool = False) -> np.ndarray:
-        """Decode to a (B, T, H, W, 3) uint8 batch."""
+    def decode(self, stream: EncodedChunkStream, *, exact: bool = False,
+               as_numpy: bool = True):
+        """Decode to a (B, T, H, W, 3) uint8 batch.
+
+        ``as_numpy=False`` leaves the result on device (jax.Array) for
+        pipelines that keep consuming it there.
+        """
         w, h, t = stream.width, stream.height, stream.frames
         padded = padded_dims(w, h, t)
         padded_pixels = padded[0] * padded[1] * padded[2]
@@ -446,6 +459,8 @@ class BatchFrameDecoder:
             padded=padded,
             exact=exact,
         )
+        if not as_numpy:
+            return rgb
         return np.asarray(jax.device_get(rgb))
 
 
