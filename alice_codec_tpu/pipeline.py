@@ -27,7 +27,9 @@ reference encoder/decoder in both directions.
 
 from __future__ import annotations
 
+import os
 import struct
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -329,9 +331,7 @@ class FrameEncoder:
         symbols = np.asarray(jax.device_get(symbols_dev))
         hists = np.asarray(jax.device_get(hists_dev)).astype(np.uint32)
 
-        headers: list[ChannelHeader] = []
-        payload = bytearray()
-        for ch in range(3):
+        def encode_channel(ch: int) -> bytes:
             # Reference-exact table first: whenever the reference's coder can
             # represent this stream, our bytes match it exactly.  If a slot
             # overflows PROB_SCALE (the reference would corrupt the stream —
@@ -345,7 +345,19 @@ class FrameEncoder:
                 table = FrequencyTable.from_histogram(hists[ch], sanitize=True)
                 enc = RansEncoder()
                 enc.encode_symbols(symbols[ch], table)
-            compressed = enc.finish()
+            return enc.finish()
+
+        # The native coder releases the GIL: channels run concurrently on
+        # multi-core hosts (the serial per-stream chain is the format's).
+        if (os.cpu_count() or 1) >= 2:
+            with ThreadPoolExecutor(3) as pool:
+                compressed_channels = list(pool.map(encode_channel, range(3)))
+        else:
+            compressed_channels = [encode_channel(ch) for ch in range(3)]
+
+        headers: list[ChannelHeader] = []
+        payload = bytearray()
+        for ch, compressed in enumerate(compressed_channels):
             headers.append(
                 ChannelHeader(
                     compressed_len=len(compressed),
@@ -386,6 +398,7 @@ class FrameDecoder:
 
         symbols = np.empty((3, padded_pixels), np.uint8)
         steps = np.empty(3, np.int32)
+        streams = []
         offset = 0
         for ch_idx, hdr in enumerate(chunk.channel_headers):
             if hdr.num_symbols != padded_pixels:
@@ -396,10 +409,22 @@ class FrameDecoder:
             end = offset + hdr.compressed_len
             if end > len(chunk.compressed_data):
                 raise InvalidBitstream(f"channel {ch_idx}: compressed data overrun")
-            stream = chunk.compressed_data[offset:end]
+            streams.append(chunk.compressed_data[offset:end])
             offset = end
-            symbols[ch_idx] = _decode_channel(stream, padded_pixels, hdr.histogram)
             steps[ch_idx] = hdr.quant_step
+
+        def decode_channel(ch_idx: int) -> None:
+            symbols[ch_idx] = _decode_channel(
+                streams[ch_idx], padded_pixels,
+                chunk.channel_headers[ch_idx].histogram,
+            )
+
+        if (os.cpu_count() or 1) >= 2:
+            with ThreadPoolExecutor(3) as pool:
+                list(pool.map(decode_channel, range(3)))
+        else:
+            for ch_idx in range(3):
+                decode_channel(ch_idx)
 
         rgb_dev = decode_device(
             jnp.asarray(symbols),
