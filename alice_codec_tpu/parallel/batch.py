@@ -73,15 +73,41 @@ def chunk_frames(frames: np.ndarray, chunk_size: int = 64) -> tuple[np.ndarray, 
     return frames.reshape(b, chunk_size, *frames.shape[1:]), n
 
 
-# Batched device stages: vmap over the chunk axis.
-@partial(jax.jit, static_argnames=("wavelet_type", "padded"))
+# Batched device stages: vmap over the chunk axis.  B == 1 bypasses the
+# vmap and reuses the scalar pipeline's compiled program (the batched
+# 1080p-scale compile is pathologically slow on the remote compiler).
 def _encode_batch_device(rgb, step, dead_zone, *, wavelet_type, padded):
+    if rgb.shape[0] == 1:
+        syms, hists = encode_device(
+            rgb[0], step, dead_zone, wavelet_type=wavelet_type, padded=padded
+        )
+        return syms[None], hists[None]
+    return _encode_batch_device_jit(
+        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded
+    )
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "padded"))
+def _encode_batch_device_jit(rgb, step, dead_zone, *, wavelet_type, padded):
     fn = partial(encode_device, wavelet_type=wavelet_type, padded=padded)
     return jax.vmap(lambda x: fn(x, step, dead_zone))(rgb)
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
 def _decode_batch_device(symbols, steps, *, wavelet_type, dims, padded, exact=False):
+    if symbols.shape[0] == 1:
+        rgb = decode_device(
+            symbols[0], steps[0], steps[0],
+            wavelet_type=wavelet_type, dims=dims, padded=padded, exact=exact,
+        )
+        return rgb[None]
+    return _decode_batch_device_jit(
+        symbols, steps, wavelet_type=wavelet_type, dims=dims, padded=padded,
+        exact=exact,
+    )
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
+def _decode_batch_device_jit(symbols, steps, *, wavelet_type, dims, padded, exact=False):
     fn = partial(
         decode_device, wavelet_type=wavelet_type, dims=dims, padded=padded, exact=exact
     )

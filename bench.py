@@ -51,8 +51,10 @@ def main() -> None:
     # tens of GB/s; this rig's development tunnel runs at ~35 MB/s and
     # would otherwise dominate the measurement).  Compressed bytes still
     # cross the host boundary every iteration — that is part of the codec.
+    print("staging input...", file=sys.stderr, flush=True)
     batch = jax.device_put(jnp.asarray(_test_chunks(b, t, h, w)))
     jax.block_until_ready(batch)
+    print("input staged", file=sys.stderr, flush=True)
 
     # device_entropy: rANS runs on-chip and only compressed bytes cross the
     # host boundary (the TPU-native path); ALC_BENCH_HOST_ENTROPY=1 benches
@@ -66,9 +68,12 @@ def main() -> None:
 
     # Warmup at the measured batch shape (single compile set; the
     # persistent compilation cache makes repeat runs fast).
+    print("warmup encode...", file=sys.stderr, flush=True)
     warm = encoder.encode(batch)
+    print("warmup decode...", file=sys.stderr, flush=True)
     decoder.decode(warm)
     jax.effects_barrier()
+    print("warmup done", file=sys.stderr, flush=True)
 
     n_iters = int(os.environ.get("ALC_BENCH_ITERS", "3"))
     start = time.perf_counter()
