@@ -12,7 +12,6 @@ from pathlib import Path
 
 import numpy as np
 
-from .core import WaveletType
 from .errors import CodecError
 from .pipeline import EncodedChunk, FrameDecoder, FrameEncoder
 

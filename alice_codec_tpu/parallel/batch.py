@@ -36,11 +36,10 @@ import numpy as np
 
 from ..core import WaveletType, padded_dims
 from ..errors import InvalidBitstream, InvalidBufferSize
-from ..ops import quant
 from ..ops.rans import FrequencyTable, _ctypes_ptr
 from ..native import get_lib
 from ..pipeline import ChannelHeader, decode_device, encode_device
-from .mesh import batch_sharding, chunk_mesh
+from .mesh import batch_sharding
 
 __all__ = [
     "DEFAULT_LANES",

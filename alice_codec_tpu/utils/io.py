@@ -7,8 +7,6 @@ chunked streaming for the batch pipeline.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 from ..errors import InvalidBufferSize
