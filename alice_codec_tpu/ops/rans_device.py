@@ -49,6 +49,20 @@ RANS32_L = 1 << 23
 _MAX_BYTES_PER_STEP = 2
 
 
+def _mxu_table_lookup(idx: jnp.ndarray, table_f32: jnp.ndarray) -> jnp.ndarray:
+    """Lookup rows of a small f32 table by index via one-hot × table matmul.
+
+    TPU dynamic gathers from a (256,) table cost ~O(lanes) VPU time per
+    step; the one-hot contraction runs on the MXU instead (table values
+    ≤ 4096 are exact in f32).  ``idx``: (lanes,) int32; ``table_f32``:
+    (n, k); returns (lanes, k) f32.
+    """
+    n = table_f32.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    onehot = (idx[:, None] == iota).astype(jnp.float32)
+    return jnp.dot(onehot, table_f32, preferred_element_type=jnp.float32)
+
+
 def _lane_view(symbols: jnp.ndarray, n_lanes: int) -> jnp.ndarray:
     """(n,) symbols → (steps, lanes) where row j holds symbols j*N..j*N+N-1.
 
@@ -79,13 +93,15 @@ def encode_device_nway(
     The scan walks the symbol rows in reverse (LIFO), matching the
     reference's encode order per lane.
     """
-    sym_rows = _lane_view(symbols, n_lanes)
-    freqs = freqs.astype(jnp.uint32)
-    cums = cums.astype(jnp.uint32)
+    sym_rows = _lane_view(symbols, n_lanes).astype(jnp.int32)
+    table = jnp.stack(
+        [freqs.astype(jnp.float32), cums.astype(jnp.float32)], axis=-1
+    )  # (256, 2)
 
     def step(states, row):
-        f = freqs[row]
-        c = cums[row]
+        fc = _mxu_table_lookup(row, table)
+        f = fc[:, 0].astype(jnp.uint32)
+        c = fc[:, 1].astype(jnp.uint32)
         # renormalize: emit while state >= ((L >> 12) << 8) * f.
         # threshold fits uint32: (2^11 << 8) * f <= 2^19 * 2^12 = 2^31.
         x_max = (jnp.uint32((RANS32_L >> PROB_BITS) << 8)) * f
@@ -249,9 +265,15 @@ def decode_device_nway(
     front-aligned; ``lane_lens``: (lanes,) int32.  Returns (steps, lanes)
     uint8 symbols in stream order (row j = symbols j*N..j*N+N-1).
     """
-    freqs = freqs.astype(jnp.uint32)
-    cums = cums.astype(jnp.uint32)
-    lut = cum_to_sym.astype(jnp.int32)
+    # sanitized tables have strictly increasing cums (freq >= 1), so the
+    # 4096-entry LUT is equivalent to counting cums <= slot; both the
+    # symbol resolution and the freq/cum fetch run as MXU/VPU-wide ops
+    # instead of per-lane gathers.
+    cums_f32 = cums.astype(jnp.float32)
+    table = jnp.stack(
+        [freqs.astype(jnp.float32), cums.astype(jnp.float32)], axis=-1
+    )
+    del cum_to_sym
     lens = lane_lens.astype(jnp.int32)
     lane_ids = jnp.arange(n_lanes)
 
@@ -267,9 +289,13 @@ def decode_device_nway(
     def step(carry, _):
         states, pos = carry
         slot = (states & (PROB_SCALE - 1)).astype(jnp.int32)
-        sym = lut[slot]
-        f = freqs[sym]
-        c = cums[sym]
+        sym = (
+            jnp.sum(cums_f32[None, :] <= slot[:, None].astype(jnp.float32), axis=1)
+            - 1
+        ).astype(jnp.int32)
+        fc = _mxu_table_lookup(sym, table)
+        f = fc[:, 0].astype(jnp.uint32)
+        c = fc[:, 1].astype(jnp.uint32)
         states = f * (states >> PROB_BITS) + slot.astype(jnp.uint32) - c
         # Byte refill while state < L.  Two iterations always suffice: the
         # updated state is ≥ f·(x>>12) ≥ 2^11, so at most ⌈(23-11)/8⌉ = 2
