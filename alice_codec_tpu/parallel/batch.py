@@ -125,6 +125,24 @@ def _encode_pack_batch(symbols, freqs, cums, *, n_lanes, use_pallas=False):
     return jax.lax.map(lambda args: fn(*args), (symbols, freqs, cums))
 
 
+@jax.jit
+def _compact_payloads(payloads, totals):
+    """Concatenate per-channel padded payloads into one compact buffer.
+
+    ``payloads``: (C, cap) uint8 front-aligned; ``totals``: (C,) int32.
+    Returns (compact (C*cap,) uint8, grand_total) — callers fetch
+    ``compact[:int(grand_total)]`` in a single device→host transfer.
+    """
+    c, cap = payloads.shape
+    offs = jnp.cumsum(totals) - totals
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, cap), 1)
+    idx = offs[:, None] + col
+    idx = jnp.where(col < totals[:, None], idx, c * cap)  # drop padding
+    out = jnp.zeros((c * cap,), jnp.uint8)
+    out = out.at[idx.reshape(-1)].set(payloads.reshape(-1), mode="drop")
+    return out, totals.sum()
+
+
 @partial(jax.jit, static_argnames=("n_lanes", "steps", "max_lane_bytes"))
 def _decode_scan_batch(lane_mats, lane_lens, freqs, cums, luts, *,
                        n_lanes, steps, max_lane_bytes):
@@ -317,15 +335,17 @@ class BatchFrameEncoder:
             lens = np.asarray(jax.device_get(lens_dev)).reshape(b, 3, self.n_lanes)
             totals = np.asarray(jax.device_get(totals_dev)).reshape(b, 3)
             lane_lens[:] = lens
+            # one compact on-device concatenation → a single device→host
+            # transfer of only the compressed bytes
+            compact_dev, grand_dev = _compact_payloads(pay_dev, totals_dev)
+            grand = int(jax.device_get(grand_dev))
+            compact = np.asarray(jax.device_get(compact_dev[:grand]))
+            off = 0
             for ci in range(b):
                 for ch in range(3):
-                    i = ci * 3 + ch
-                    # on-device slice → only compressed bytes transfer
-                    payloads.append(
-                        np.asarray(
-                            jax.device_get(pay_dev[i, : int(totals[ci, ch])])
-                        ).tobytes()
-                    )
+                    tot = int(totals[ci, ch])
+                    payloads.append(compact[off : off + tot].tobytes())
+                    off += tot
         else:
             symbols = np.asarray(jax.device_get(symbols_dev))  # (B, 3, P)
             if n_sym != padded_pixels:
