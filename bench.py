@@ -60,11 +60,12 @@ def main() -> None:
     # host boundary (the TPU-native path); ALC_BENCH_HOST_ENTROPY=1 benches
     # the OpenMP host coder instead.
     device_entropy = not os.environ.get("ALC_BENCH_HOST_ENTROPY")
-    lanes = int(os.environ.get("ALC_BENCH_LANES", "2048"))
+    dec_device = device_entropy and not os.environ.get("ALC_BENCH_DEC_HOST")
+    lanes = int(os.environ.get("ALC_BENCH_LANES", "8192"))
     encoder = BatchFrameEncoder(
         quality=90, wavelet="cdf53", device_entropy=device_entropy, n_lanes=lanes
     )
-    decoder = BatchFrameDecoder(device_entropy=device_entropy)
+    decoder = BatchFrameDecoder(device_entropy=dec_device)
 
     # Warmup at the measured batch shape (single compile set; the
     # persistent compilation cache makes repeat runs fast).
