@@ -200,3 +200,19 @@ def test_quality_step_mapping():
     header = FrameEncoder(quality=90).encode(_test_video(4, 4, 2), 4, 4, 2)
     assert header.channel_headers[0].quant_step == 8
     assert header.channel_headers[0].quant_dead_zone == 8
+
+
+def test_dimension_overflow():
+    """Huge u32 dims overflow the usize product (reference src/pipeline.rs:792-797)."""
+    from alice_codec_tpu.errors import DimensionOverflow
+
+    with pytest.raises(DimensionOverflow):
+        FrameEncoder().encode(np.empty(0, np.uint8), 2**32 - 1, 2**32 - 1, 2**32 - 1)
+
+
+def test_encoder_accepts_wavelet_enum():
+    chunk = FrameEncoder(quality=80, wavelet=WaveletType.HAAR).encode(
+        _test_video(4, 4, 2), 4, 4, 2
+    )
+    assert chunk.wavelet == "haar"
+    assert FrameEncoder.with_wavelet(70, WaveletType.CDF97).wavelet_type is WaveletType.CDF97
