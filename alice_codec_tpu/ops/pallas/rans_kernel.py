@@ -33,7 +33,10 @@ RANS32_L = 1 << 23
 
 #: preferred symbol rows per grid step (actual tile = largest divisor of
 #: the step count <= TILE_S, so any codec shape works without padding).
-TILE_S = 256
+#: Kept small: Mosaic fully unrolls the in-kernel row loop, so compile time
+#: scales with the tile (tile=8 compiles in seconds; tile≈200 never
+#: finishes on the remote compiler).
+TILE_S = 8
 
 
 def _pick_tile(steps: int) -> int:
