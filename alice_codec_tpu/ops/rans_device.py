@@ -276,13 +276,7 @@ def decode_device_nway(
     del cum_to_sym
     lens = lane_lens.astype(jnp.int32)
 
-    # Byte refill without gathers: precompute per-lane 2-byte pairs
-    # (pair[k,j] = b[k,j]*256 + b[k,j+1], exact in f32) and select the
-    # cursor column with a masked row-sum — a VPU-wide op instead of a
-    # per-lane dynamic gather.
-    b_f32 = lane_bytes.astype(jnp.float32)
-    pairs = b_f32 * 256.0 + jnp.pad(b_f32[:, 1:], ((0, 0), (0, 1)))
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, max_lane_bytes), 1)
+    lane_ids = jnp.arange(n_lanes)
 
     # initial state: first 4 big-endian bytes of each lane
     init_states = (
@@ -306,20 +300,12 @@ def decode_device_nway(
         states = f * (states >> PROB_BITS) + slot.astype(jnp.uint32) - c
         # Byte refill while state < L.  Two iterations always suffice: the
         # updated state is ≥ f·(x>>12) ≥ 2^11, so at most ⌈(23-11)/8⌉ = 2
-        # bytes are needed to re-enter [L, ∞).  Both candidate bytes come
-        # from one masked row-sum over the pair matrix.
-        onehot = (col_iota == pos[:, None]).astype(jnp.float32)
-        pairval = jnp.sum(pairs * onehot, axis=1).astype(jnp.int32)
-        b0 = (pairval >> 8).astype(jnp.uint32)
-        b1 = (pairval & 0xFF).astype(jnp.uint32)
-        need0 = (states < RANS32_L) & (pos < lens)
-        states = jnp.where(need0, (states << 8) | b0, states)
-        pos = jnp.where(need0, pos + 1, pos)
-        # if refill 0 didn't fire, the state was already ≥ L (or the lane is
-        # exhausted), so refill 1 can only follow refill 0
-        need1 = (states < RANS32_L) & (pos < lens)
-        states = jnp.where(need1, (states << 8) | b1, states)
-        pos = jnp.where(need1, pos + 1, pos)
+        # bytes are needed to re-enter [L, ∞).
+        for _refill in range(2):
+            need = (states < RANS32_L) & (pos < lens)
+            nxt = lane_bytes[lane_ids, jnp.minimum(pos, max_lane_bytes - 1)]
+            states = jnp.where(need, (states << 8) | nxt.astype(jnp.uint32), states)
+            pos = jnp.where(need, pos + 1, pos)
         return (states, pos), sym.astype(jnp.uint8)
 
     (states, pos), syms = jax.lax.scan(
