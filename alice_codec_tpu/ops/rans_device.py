@@ -36,6 +36,8 @@ import numpy as np
 __all__ = [
     "encode_device_nway",
     "decode_device_nway",
+    "encode_pack_device",
+    "pack_device",
     "pack_lane_streams",
 ]
 
@@ -163,8 +165,14 @@ def encode_pack_device(
         bytes2, counts, states = encode_device_nway(
             symbols, freqs, cums, n_lanes=n_lanes
         )
-    steps = counts.shape[0]
-    n = symbols.shape[0]
+    return pack_device(bytes2, counts, states, n=symbols.shape[0],
+                       n_lanes=n_lanes)
+
+
+@partial(jax.jit, static_argnames=("n", "n_lanes"))
+def pack_device(bytes2, counts, states, *, n: int, n_lanes: int):
+    """On-device stream packing (second half of :func:`encode_pack_device`):
+    scan outputs → final reversed per-lane streams in one scatter."""
     cap = 2 * n + 4 * n_lanes
 
     # Emission order is reversed row order (the scan ran reverse=True).

@@ -113,16 +113,31 @@ def _decode_batch_device_jit(symbols, steps, *, wavelet_type, dims, padded, exac
     return jax.vmap(lambda s, st: fn(s, st, st))(symbols, steps)
 
 
-# Device entropy stages over (chunk, channel).  lax.map (sequential) rather
-# than vmap: each channel's coder already saturates the chip, and the pack
-# stage's scatter intermediates are ~6x the symbol bytes — serializing
-# channels keeps peak HBM flat instead of multiplying it by B*3.
+# Device entropy stages over (chunk, channel).  The state-chain scan is
+# vmapped across channels (one scan, 3x lanes — the per-step cost is far
+# below VPU width at codec lane counts); the pack stage stays sequential
+# (lax.map) because its scatter intermediates are ~6x the symbol bytes and
+# would multiply peak HBM by B*3.
 @partial(jax.jit, static_argnames=("n_lanes", "use_pallas"))
 def _encode_pack_batch(symbols, freqs, cums, *, n_lanes, use_pallas=False):
-    from ..ops.rans_device import encode_pack_device
+    from ..ops.rans_device import encode_device_nway, pack_device
 
-    fn = partial(encode_pack_device, n_lanes=n_lanes, use_pallas=use_pallas)
-    return jax.lax.map(lambda args: fn(*args), (symbols, freqs, cums))
+    if use_pallas:
+        from ..ops.pallas.rans_kernel import encode_nway_pallas
+
+        coder = partial(encode_nway_pallas, n_lanes=n_lanes)
+        bytes2, counts, states = jax.lax.map(
+            lambda args: coder(*args), (symbols, freqs, cums)
+        )
+    else:
+        coder = partial(encode_device_nway, n_lanes=n_lanes)
+        bytes2, counts, states = jax.vmap(coder)(symbols, freqs, cums)
+
+    n = symbols.shape[1]
+    return jax.lax.map(
+        lambda args: pack_device(*args, n=n, n_lanes=n_lanes),
+        (bytes2, counts, states),
+    )
 
 
 @jax.jit
