@@ -283,8 +283,10 @@ def decode_device_nway(
     )
     del cum_to_sym
     lens = lane_lens.astype(jnp.int32)
-
     lane_ids = jnp.arange(n_lanes)
+    # transpose so the per-step refill gathers along the lane-contiguous
+    # (minor) axis
+    bytes_t = lane_bytes.T  # (maxlen, lanes)
 
     # initial state: first 4 big-endian bytes of each lane
     init_states = (
@@ -311,7 +313,7 @@ def decode_device_nway(
         # bytes are needed to re-enter [L, ∞).
         for _refill in range(2):
             need = (states < RANS32_L) & (pos < lens)
-            nxt = lane_bytes[lane_ids, jnp.minimum(pos, max_lane_bytes - 1)]
+            nxt = bytes_t[jnp.minimum(pos, max_lane_bytes - 1), lane_ids]
             states = jnp.where(need, (states << 8) | nxt.astype(jnp.uint32), states)
             pos = jnp.where(need, pos + 1, pos)
         return (states, pos), sym.astype(jnp.uint8)
