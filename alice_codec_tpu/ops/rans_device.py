@@ -65,6 +65,28 @@ def _mxu_table_lookup(idx: jnp.ndarray, table_f32: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(onehot, table_f32, preferred_element_type=jnp.float32)
 
 
+def _iota16(lanes: int) -> jnp.ndarray:
+    return jax.lax.broadcasted_iota(jnp.int32, (lanes, 16), 1)
+
+
+def _two_level_lookup(idx: jnp.ndarray, table2: jnp.ndarray) -> jnp.ndarray:
+    """256-entry table lookup in two 16-wide stages (hi nibble selects the
+    block via a 16×16k matmul, lo nibble selects within it) — 16x less
+    one-hot work per step than the flat 256-wide version.
+
+    ``idx``: (lanes,) int32 in [0, 256); ``table2``: (16, 16*k) f32, the
+    (256, k) table reshaped block-row-major.  Returns (lanes, k) f32.
+    """
+    lanes = idx.shape[0]
+    k = table2.shape[1] // 16
+    i16 = _iota16(lanes)
+    hi_oh = ((idx[:, None] >> 4) == i16).astype(jnp.float32)
+    block = jnp.dot(hi_oh, table2, preferred_element_type=jnp.float32)
+    block = block.reshape(lanes, 16, k)
+    lo_oh = ((idx[:, None] & 15) == i16).astype(jnp.float32)
+    return jnp.einsum("lb,lbk->lk", lo_oh, block)
+
+
 def _lane_view(symbols: jnp.ndarray, n_lanes: int) -> jnp.ndarray:
     """(n,) symbols → (steps, lanes) where row j holds symbols j*N..j*N+N-1.
 
@@ -96,12 +118,12 @@ def encode_device_nway(
     reference's encode order per lane.
     """
     sym_rows = _lane_view(symbols, n_lanes).astype(jnp.int32)
-    table = jnp.stack(
+    table2 = jnp.stack(
         [freqs.astype(jnp.float32), cums.astype(jnp.float32)], axis=-1
-    )  # (256, 2)
+    ).reshape(16, 32)  # (256,2) block-row-major
 
     def step(states, row):
-        fc = _mxu_table_lookup(row, table)
+        fc = _two_level_lookup(row, table2)
         f = fc[:, 0].astype(jnp.uint32)
         c = fc[:, 1].astype(jnp.uint32)
         # renormalize: emit while state >= ((L >> 12) << 8) * f.
@@ -278,9 +300,13 @@ def decode_device_nway(
     # symbol resolution and the freq/cum fetch run as MXU/VPU-wide ops
     # instead of per-lane gathers.
     cums_f32 = cums.astype(jnp.float32)
-    table = jnp.stack(
-        [freqs.astype(jnp.float32), cums.astype(jnp.float32)], axis=-1
-    )
+    # two-level structures: block heads (16,) and per-block (freq, cum)
+    # rows (16, 32); valid tables have strictly increasing cums.
+    cum_heads = cums_f32[::16]
+    table2 = jnp.stack(
+        [freqs.astype(jnp.float32), cums_f32], axis=-1
+    ).reshape(16, 32)
+    cums_blocks = cums_f32.reshape(16, 16)
     del cum_to_sym
     lens = lane_lens.astype(jnp.int32)
     lane_ids = jnp.arange(n_lanes)
@@ -300,11 +326,15 @@ def decode_device_nway(
     def step(carry, _):
         states, pos = carry
         slot = (states & (PROB_SCALE - 1)).astype(jnp.int32)
-        sym = (
-            jnp.sum(cums_f32[None, :] <= slot[:, None].astype(jnp.float32), axis=1)
-            - 1
-        ).astype(jnp.int32)
-        fc = _mxu_table_lookup(sym, table)
+        slot_f = slot[:, None].astype(jnp.float32)
+        # two-level search: block index, then position within the block
+        hi = (jnp.sum(cum_heads[None, :] <= slot_f, axis=1) - 1).astype(jnp.int32)
+        i16 = _iota16(slot.shape[0])
+        hi_oh = (hi[:, None] == i16).astype(jnp.float32)
+        cand = jnp.dot(hi_oh, cums_blocks, preferred_element_type=jnp.float32)
+        lo = (jnp.sum(cand <= slot_f, axis=1) - 1).astype(jnp.int32)
+        sym = hi * 16 + lo
+        fc = _two_level_lookup(sym, table2)
         f = fc[:, 0].astype(jnp.uint32)
         c = fc[:, 1].astype(jnp.uint32)
         states = f * (states >> PROB_BITS) + slot.astype(jnp.uint32) - c
