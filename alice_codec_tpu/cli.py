@@ -104,6 +104,9 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    except BrokenPipeError:
+        # stdout consumer closed early (e.g. `alice-codec info x | head`)
+        return 0
 
 
 if __name__ == "__main__":
