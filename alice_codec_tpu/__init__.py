@@ -41,6 +41,14 @@ from .ops.quant import (
     quantize_subband,
     to_symbols,
 )
+from .ops.rans import (
+    FrequencyTable,
+    InterleavedRansDecoder,
+    InterleavedRansEncoder,
+    RansDecoder,
+    RansEncoder,
+    SimdRansDecoder,
+)
 from .ops.wavelet import Wavelet1D, Wavelet2D, Wavelet3D
 from .lossless import (
     LosslessEncoder,
@@ -117,14 +125,20 @@ __all__ = [
     "FastQuantizer",
     "FrameDecoder",
     "FrameEncoder",
+    "FrequencyTable",
+    "InterleavedRansDecoder",
+    "InterleavedRansEncoder",
     "InvalidBitstream",
     "InvalidBufferSize",
     "InvalidDimensions",
     "InvalidQuantStep",
     "LosslessEncoder",
     "Quantizer",
+    "RansDecoder",
+    "RansEncoder",
     "RateControlConfig",
     "RateController",
+    "SimdRansDecoder",
     "SegmentConfig",
     "SegmentResult",
     "SubBand3D",

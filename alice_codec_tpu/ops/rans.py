@@ -182,7 +182,7 @@ class RansEncoder:
     >>> enc.encode_symbols([42, 100, 200], table)
     >>> data = enc.finish()
     >>> dec = RansDecoder(data)
-    >>> list(dec.decode_n(3, table))
+    >>> [int(s) for s in dec.decode_n(3, table)]
     [42, 100, 200]
     """
 
