@@ -156,3 +156,12 @@ def test_lane_multiple_padding():
     out1 = BatchFrameDecoder().decode(host)
     out2 = BatchFrameDecoder(device_entropy=True).decode(dev)
     assert np.array_equal(out1, out2)
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "cdf97"])
+def test_batch_other_wavelets(wavelet):
+    batch = _batch(b=2, t=2, h=8, w=8, seed=6)
+    stream = BatchFrameEncoder(quality=90, wavelet=wavelet, n_lanes=8).encode(batch)
+    assert stream.wavelet_type.name_str == wavelet
+    out = BatchFrameDecoder().decode(stream)
+    assert out.shape == batch.shape
