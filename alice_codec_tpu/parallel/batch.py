@@ -265,6 +265,7 @@ class BatchFrameEncoder:
         n_lanes: int = DEFAULT_LANES,
         mesh=None,
         device_entropy: bool = False,
+        pallas_entropy: bool = False,
     ):
         from ..core import quality_to_step
 
@@ -275,6 +276,7 @@ class BatchFrameEncoder:
         self.n_lanes = int(n_lanes)
         self.mesh = mesh
         self.device_entropy = bool(device_entropy)
+        self.pallas_entropy = bool(pallas_entropy)
         self.step = quality_to_step(self.quality)
 
     def encode_device_stage(self, batch):
@@ -345,7 +347,8 @@ class BatchFrameEncoder:
             if n_sym != padded_pixels:
                 syms_flat = jnp.pad(syms_flat, ((0, 0), (0, n_sym - padded_pixels)))
             pay_dev, lens_dev, totals_dev = _encode_pack_batch(
-                syms_flat, freqs, cums, n_lanes=self.n_lanes
+                syms_flat, freqs, cums, n_lanes=self.n_lanes,
+                use_pallas=self.pallas_entropy,
             )
             lens = np.asarray(jax.device_get(lens_dev)).reshape(b, 3, self.n_lanes)
             totals = np.asarray(jax.device_get(totals_dev)).reshape(b, 3)

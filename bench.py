@@ -61,9 +61,14 @@ def main() -> None:
     # the OpenMP host coder instead.
     device_entropy = not os.environ.get("ALC_BENCH_HOST_ENTROPY")
     dec_device = device_entropy and not os.environ.get("ALC_BENCH_DEC_HOST")
-    lanes = int(os.environ.get("ALC_BENCH_LANES", "8192"))
+    # 2048 lanes: the Pallas encode kernel compiles in ~30s there and runs
+    # ~30x faster than the lax.scan coder (913 Msym/s measured); wider
+    # lanes explode the Mosaic compile.
+    use_pallas = not os.environ.get("ALC_BENCH_NO_PALLAS")
+    lanes = int(os.environ.get("ALC_BENCH_LANES", "2048"))
     encoder = BatchFrameEncoder(
-        quality=90, wavelet="cdf53", device_entropy=device_entropy, n_lanes=lanes
+        quality=90, wavelet="cdf53", device_entropy=device_entropy, n_lanes=lanes,
+        pallas_entropy=use_pallas,
     )
     decoder = BatchFrameDecoder(device_entropy=dec_device)
 

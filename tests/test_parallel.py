@@ -165,3 +165,16 @@ def test_batch_other_wavelets(wavelet):
     assert stream.wavelet_type.name_str == wavelet
     out = BatchFrameDecoder().decode(stream)
     assert out.shape == batch.shape
+
+
+def test_pallas_entropy_matches_scan_payload():
+    """pallas_entropy=True produces the same ALC2 bytes (interpret-safe lanes)."""
+    batch = _batch(b=1, t=2, h=8, w=8, seed=7)
+    scan_s = BatchFrameEncoder(quality=90, n_lanes=8, device_entropy=True).encode(batch)
+    pallas_s = BatchFrameEncoder(
+        quality=90, n_lanes=8, device_entropy=True, pallas_entropy=True
+    ).encode(batch)
+    assert pallas_s.payload == scan_s.payload
+    assert np.array_equal(pallas_s.lane_lens, scan_s.lane_lens)
+    out = BatchFrameDecoder(device_entropy=True).decode(pallas_s)
+    assert out.shape == batch.shape
