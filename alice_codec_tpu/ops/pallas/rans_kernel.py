@@ -119,6 +119,8 @@ def encode_nway_pallas(
             f"symbol count {n} must be a multiple of n_lanes ({n_lanes}); "
             "pad the symbol stream"
         )
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # Mosaic lowering is TPU-only
     sym_rows = symbols.reshape(steps, n_lanes).astype(jnp.int32)
     tile = _pick_tile(steps)
     num_tiles = steps // tile
