@@ -63,18 +63,24 @@ def _encode_kernel(sym_ref, table_ref, packed_ref, states_out_ref, states):
 
     tile_rows = sym_ref.shape[0]
     n_lanes = sym_ref.shape[1]
-    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, 256), 1)
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, 16), 1)
 
     def body(i, _):
         r = tile_rows - 1 - i  # reverse within the tile (LIFO)
         row = sym_ref[r, :]  # int32 (u8 dynamic row reads unsupported in Mosaic)
-        # table lookup as one-hot x (256,2) matmul — the MXU-native gather
-        # (values <= 4096 are exact in f32)
-        onehot = (row[:, None] == sym_iota).astype(jnp.float32)
-        fc = jnp.dot(onehot, table_ref[:, :], preferred_element_type=jnp.float32)
+        # Two-level table lookup (hi nibble picks the 16-row block via a
+        # 16-wide matmul, lo nibble selects within it): 16x smaller one-hot
+        # intermediates than the flat 256-wide version, which blows VMEM
+        # past 2048 lanes.  Values <= 4096 are exact in f32.
+        hi_oh = ((row[:, None] >> 4) == iota16).astype(jnp.float32)
+        block = jnp.dot(hi_oh, table_ref[:, :], preferred_element_type=jnp.float32)
+        block = block.reshape(n_lanes, 16, 2)
+        lo_oh = ((row[:, None] & 15) == iota16).astype(jnp.float32)
+        f_sel = jnp.sum(block[:, :, 0] * lo_oh, axis=1)
+        c_sel = jnp.sum(block[:, :, 1] * lo_oh, axis=1)
         # Mosaic has no f32->u32 cast; round-trip through int32.
-        f = fc[:, 0].astype(jnp.int32).astype(jnp.uint32)
-        c = fc[:, 1].astype(jnp.int32).astype(jnp.uint32)
+        f = f_sel.astype(jnp.int32).astype(jnp.uint32)
+        c = c_sel.astype(jnp.int32).astype(jnp.uint32)
         x = states[:]
         x_max = jnp.uint32((RANS32_L >> PROB_BITS) << 8) * f
         emit0 = x >= x_max
@@ -125,9 +131,11 @@ def encode_nway_pallas(
     tile = _pick_tile(steps)
     num_tiles = steps // tile
 
+    # (256,2) table reshaped block-row-major: row b holds the 16
+    # (freq, cum) pairs of symbols 16b..16b+15
     table = jnp.stack(
         [freqs.astype(jnp.float32), cums.astype(jnp.float32)], axis=-1
-    )  # (256, 2)
+    ).reshape(16, 32)
 
     def rev(i):
         return (num_tiles - 1 - i, 0)
@@ -141,7 +149,7 @@ def encode_nway_pallas(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
