@@ -56,7 +56,8 @@ def _pick_tile(steps: int) -> int:
     )
 
 
-def _encode_kernel(sym_ref, table_ref, packed_ref, states_out_ref, states):
+def _encode_kernel(sym_ref, ftab_ref, ctab_ref, packed_ref, states_out_ref,
+                   states):
     @pl.when(pl.program_id(0) == 0)
     def _():
         states[:] = jnp.full_like(states[:], RANS32_L)
@@ -73,11 +74,11 @@ def _encode_kernel(sym_ref, table_ref, packed_ref, states_out_ref, states):
         # intermediates than the flat 256-wide version, which blows VMEM
         # past 2048 lanes.  Values <= 4096 are exact in f32.
         hi_oh = ((row[:, None] >> 4) == iota16).astype(jnp.float32)
-        block = jnp.dot(hi_oh, table_ref[:, :], preferred_element_type=jnp.float32)
-        block = block.reshape(n_lanes, 16, 2)
+        fblk = jnp.dot(hi_oh, ftab_ref[:, :], preferred_element_type=jnp.float32)
+        cblk = jnp.dot(hi_oh, ctab_ref[:, :], preferred_element_type=jnp.float32)
         lo_oh = ((row[:, None] & 15) == iota16).astype(jnp.float32)
-        f_sel = jnp.sum(block[:, :, 0] * lo_oh, axis=1)
-        c_sel = jnp.sum(block[:, :, 1] * lo_oh, axis=1)
+        f_sel = jnp.sum(fblk * lo_oh, axis=1)
+        c_sel = jnp.sum(cblk * lo_oh, axis=1)
         # Mosaic has no f32->u32 cast; round-trip through int32.
         f = f_sel.astype(jnp.int32).astype(jnp.uint32)
         c = c_sel.astype(jnp.int32).astype(jnp.uint32)
@@ -131,11 +132,9 @@ def encode_nway_pallas(
     tile = _pick_tile(steps)
     num_tiles = steps // tile
 
-    # (256,2) table reshaped block-row-major: row b holds the 16
-    # (freq, cum) pairs of symbols 16b..16b+15
-    table = jnp.stack(
-        [freqs.astype(jnp.float32), cums.astype(jnp.float32)], axis=-1
-    ).reshape(16, 32)
+    # (16,16) block tables: row b holds symbols 16b..16b+15
+    ftab = freqs.astype(jnp.float32).reshape(16, 16)
+    ctab = cums.astype(jnp.float32).reshape(16, 16)
 
     def rev(i):
         return (num_tiles - 1 - i, 0)
@@ -149,7 +148,8 @@ def encode_nway_pallas(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
@@ -157,7 +157,7 @@ def encode_nway_pallas(
         ),
         scratch_shapes=[pltpu.VMEM((n_lanes,), jnp.uint32)],
         interpret=interpret,
-    )(sym_rows, table)
+    )(sym_rows, ftab, ctab)
 
     bytes2 = jnp.stack(
         [(packed & 0xFF).astype(jnp.uint8), ((packed >> 8) & 0xFF).astype(jnp.uint8)],
