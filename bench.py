@@ -61,11 +61,11 @@ def main() -> None:
     # the OpenMP host coder instead.
     device_entropy = not os.environ.get("ALC_BENCH_HOST_ENTROPY")
     dec_device = device_entropy and not os.environ.get("ALC_BENCH_DEC_HOST")
-    # 2048 lanes: the Pallas encode kernel compiles in ~30s there and runs
-    # ~30x faster than the lax.scan coder (913 Msym/s measured); wider
-    # lanes explode the Mosaic compile.
+    # 4096 lanes: the Pallas encode kernel runs >1 Gsym/s there (~30x the
+    # lax.scan coder) and compiles in ~2 min (cached); 8192 lanes exceeds
+    # the 16 MB VMEM budget of the unrolled kernel.
     use_pallas = not os.environ.get("ALC_BENCH_NO_PALLAS")
-    lanes = int(os.environ.get("ALC_BENCH_LANES", "2048"))
+    lanes = int(os.environ.get("ALC_BENCH_LANES", "4096"))
     encoder = BatchFrameEncoder(
         quality=90, wavelet="cdf53", device_entropy=device_entropy, n_lanes=lanes,
         pallas_entropy=use_pallas,
