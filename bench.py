@@ -61,11 +61,13 @@ def main() -> None:
     # the OpenMP host coder instead.
     device_entropy = not os.environ.get("ALC_BENCH_HOST_ENTROPY")
     dec_device = device_entropy and not os.environ.get("ALC_BENCH_DEC_HOST")
-    # 4096 lanes: the Pallas encode kernel runs >1 Gsym/s there (~30x the
-    # lax.scan coder) and compiles in ~2 min (cached); 8192 lanes exceeds
-    # the 16 MB VMEM budget of the unrolled kernel.
-    use_pallas = not os.environ.get("ALC_BENCH_NO_PALLAS")
-    lanes = int(os.environ.get("ALC_BENCH_LANES", "4096"))
+    # Measured optimum on this rig: scan coder at 8192 lanes both ways
+    # (0.027 chunks/s).  The Pallas encoder hits >1 Gsym/s at <=4096 lanes
+    # (ALC_BENCH_PALLAS=1 to enable) but halving the lane count doubles the
+    # decode scan's step count, which dominates; the decode kernel is the
+    # round-2 unlock.
+    use_pallas = bool(os.environ.get("ALC_BENCH_PALLAS"))
+    lanes = int(os.environ.get("ALC_BENCH_LANES", "8192"))
     encoder = BatchFrameEncoder(
         quality=90, wavelet="cdf53", device_entropy=device_entropy, n_lanes=lanes,
         pallas_entropy=use_pallas,
