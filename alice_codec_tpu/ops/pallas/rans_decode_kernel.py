@@ -1,0 +1,157 @@
+"""Pallas TPU kernel for the wide-interleaved rANS decoder.
+
+Counterpart of rans_kernel.py: lane states and byte cursors persist in VMEM
+scratch across grid steps; each grid step decodes TILE_S symbol rows.  The
+per-lane byte streams live in a (lane_group, maxlen) VMEM block selected by
+the outer grid dimension — lane groups are independent, so the grid is
+(groups, step_tiles) with per-group scratch slots.
+
+Semantics identical to ``decode_device_nway`` (and the host/C++ decoders):
+slot = state & 4095 → symbol via the strictly-increasing cums (two-level
+16-wide search), state update ``f*(x>>12) + slot - cum``, ≤2 byte refills
+per step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PROB_BITS = 12
+PROB_SCALE = 1 << PROB_BITS
+RANS32_L = 1 << 23
+
+TILE_S = 8
+#: lanes per grid group: bounds the VMEM byte-matrix block.
+GROUP_LANES = 2048
+
+
+def _decode_kernel(bytes_ref, lens_ref, cumh_ref, ftab_ref, ctab_ref,
+                   sym_ref, states, pos):
+    g = pl.program_id(0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        # init: 4 big-endian bytes per lane; cursor starts at 4
+        b = bytes_ref[:, 0:4].astype(jnp.uint32)
+        states[g, :] = (b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3]
+        pos[g, :] = jnp.full_like(pos[g, :], 4)
+
+    tile_rows = sym_ref.shape[0]
+    n_lanes = bytes_ref.shape[0]
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, 16), 1)
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (n_lanes, 1), 0
+    )[:, 0]
+    maxlen = bytes_ref.shape[1]
+
+    def body(i, _):
+        x = states[g, :]
+        p = pos[g, :]
+        lens = lens_ref[0, :]
+        slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)
+        slot_f = slot[:, None].astype(jnp.float32)
+        # two-level strictly-increasing-cums search
+        hi = (jnp.sum((cumh_ref[0, :][None, :] <= slot_f).astype(jnp.int32),
+                      axis=1) - 1)
+        hi_oh = (hi[:, None] == iota16).astype(jnp.float32)
+        cand = jnp.dot(hi_oh, ctab_ref[:, :], preferred_element_type=jnp.float32)
+        lo = (jnp.sum((cand <= slot_f).astype(jnp.int32), axis=1) - 1)
+        fblk = jnp.dot(hi_oh, ftab_ref[:, :], preferred_element_type=jnp.float32)
+        lo_oh = (lo[:, None] == iota16).astype(jnp.float32)
+        f = jnp.sum(fblk * lo_oh, axis=1).astype(jnp.int32).astype(jnp.uint32)
+        c = jnp.sum(cand * lo_oh, axis=1).astype(jnp.int32).astype(jnp.uint32)
+        sym = hi * 16 + lo
+        x = f * (x >> PROB_BITS) + slot.astype(jnp.uint32) - c
+        # ≤2 refills; gather one byte per lane from the VMEM byte block
+        for _refill in range(2):
+            need = (x < RANS32_L) & (p < lens)
+            nxt = bytes_ref[lane_iota, jnp.minimum(p, maxlen - 1)].astype(jnp.uint32)
+            x = jnp.where(need, (x << 8) | nxt, x)
+            p = jnp.where(need, p + 1, p)
+        states[g, :] = x
+        pos[g, :] = p
+        sym_ref[i, :] = sym
+        return 0
+
+    jax.lax.fori_loop(0, tile_rows, body, 0)
+
+
+def _pick_tile(steps: int) -> int:
+    if steps <= TILE_S:
+        return steps
+    for t in range(TILE_S - TILE_S % 8, 7, -8):
+        if steps % t == 0:
+            return t
+    raise ValueError(f"no Pallas-compatible tile for {steps} steps")
+
+
+@partial(jax.jit, static_argnames=("n_lanes", "steps", "max_lane_bytes", "interpret"))
+def decode_nway_pallas(
+    lane_bytes: jnp.ndarray,
+    lane_lens: jnp.ndarray,
+    freqs: jnp.ndarray,
+    cums: jnp.ndarray,
+    *,
+    n_lanes: int,
+    steps: int,
+    max_lane_bytes: int,
+    interpret: bool = False,
+):
+    """Pallas version of :func:`ops.rans_device.decode_device_nway`.
+
+    ``lane_bytes``: (lanes, max_lane_bytes) uint8 front-aligned;
+    ``lane_lens``: (lanes,) int32.  Returns (steps, lanes) int32 symbols.
+    Requires a valid (sanitized) table; lanes must be a multiple of
+    GROUP_LANES or at most GROUP_LANES.
+    """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+
+    group = min(GROUP_LANES, n_lanes)
+    if n_lanes % group:
+        raise ValueError(f"n_lanes ({n_lanes}) must be a multiple of {group}")
+    n_groups = n_lanes // group
+    tile = _pick_tile(steps)
+    num_tiles = steps // tile
+
+    # pad byte matrix columns to a lane multiple of 128 for clean blocks
+    pad_cols = (-max_lane_bytes) % 128
+    if pad_cols:
+        lane_bytes = jnp.pad(lane_bytes, ((0, 0), (0, pad_cols)))
+    cols = max_lane_bytes + pad_cols
+
+    # int32 copies (Mosaic-friendly dynamic reads)
+    bytes_i32 = lane_bytes.astype(jnp.int32)
+    lens_i32 = lane_lens.astype(jnp.int32).reshape(1, n_lanes)
+    cum_heads = cums.astype(jnp.float32)[::16].reshape(1, 16)
+    ftab = freqs.astype(jnp.float32).reshape(16, 16)
+    ctab = cums.astype(jnp.float32).reshape(16, 16)
+
+    sym = pl.pallas_call(
+        _decode_kernel,
+        out_shape=jax.ShapeDtypeStruct((steps, n_lanes), jnp.int32),
+        grid=(n_groups, num_tiles),
+        in_specs=[
+            pl.BlockSpec((group, cols), lambda g, t: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group), lambda g, t: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, group), lambda g, t: (t, g), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1 if n_groups == 1 else n_groups, group), jnp.uint32),
+            pltpu.VMEM((1 if n_groups == 1 else n_groups, group), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bytes_i32, lens_i32, cum_heads, ftab, ctab)
+    return sym
