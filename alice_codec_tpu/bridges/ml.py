@@ -20,6 +20,7 @@ def _matvec(weights: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
         weights.astype(jnp.float32),
         features.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -32,26 +32,34 @@ GROUP_LANES = 2048
 
 def _decode_kernel(bytes_ref, lens_ref, cumh_ref, ftab_ref, ctab_ref,
                    sym_ref, states, pos):
-    g = pl.program_id(0)
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        # init: 4 big-endian bytes per lane; cursor starts at 4
-        b = bytes_ref[:, 0:4].astype(jnp.uint32)
-        states[g, :] = (b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3]
-        pos[g, :] = jnp.full_like(pos[g, :], 4)
-
     tile_rows = sym_ref.shape[0]
     n_lanes = bytes_ref.shape[0]
     iota16 = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, 16), 1)
-    lane_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (n_lanes, 1), 0
-    )[:, 0]
-    maxlen = bytes_ref.shape[1]
+    n_words = bytes_ref.shape[1]
+    word_iota = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_words), 1)
+    blk = bytes_ref[:, :]  # per-group word matrix (4 LE bytes per int32)
+
+    # Grid order: the tile dim (1) varies fastest, so every tile of group g
+    # runs before group g+1 — one flat scratch per lane-group suffices,
+    # re-initialized at each group's first tile.  (Indexing scratch with the
+    # traced program_id would be illegal: Mosaic has no int indexing.)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        # init: 4 big-endian stream bytes per lane live in word 0
+        # (little-endian packed); cursor starts at byte 4.  Word 0 is
+        # fetched with the same masked row-sum as the refills (a strided
+        # column read miscompiles under Mosaic).  Assemble from two
+        # positive 16-bit halves in int32: Mosaic's int32→uint32
+        # conversion of negative values diverges from XLA's wraparound.
+        w0 = jnp.sum(jnp.where(word_iota == 0, blk, 0), axis=1)
+        hi16 = ((w0 & 0xFF) << 8) | ((w0 >> 8) & 0xFF)
+        lo16 = ((w0 >> 16) & 0xFF) << 8 | ((w0 >> 24) & 0xFF)
+        states[:] = (hi16.astype(jnp.uint32) << 16) | lo16.astype(jnp.uint32)
+        pos[:] = jnp.full_like(pos[:], 4)
 
     def body(i, _):
-        x = states[g, :]
-        p = pos[g, :]
+        x = states[:]
+        p = pos[:]
         lens = lens_ref[0, :]
         slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)
         slot_f = slot[:, None].astype(jnp.float32)
@@ -59,22 +67,31 @@ def _decode_kernel(bytes_ref, lens_ref, cumh_ref, ftab_ref, ctab_ref,
         hi = (jnp.sum((cumh_ref[0, :][None, :] <= slot_f).astype(jnp.int32),
                       axis=1) - 1)
         hi_oh = (hi[:, None] == iota16).astype(jnp.float32)
-        cand = jnp.dot(hi_oh, ctab_ref[:, :], preferred_element_type=jnp.float32)
+        cand = jnp.dot(hi_oh, ctab_ref[:, :], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         lo = (jnp.sum((cand <= slot_f).astype(jnp.int32), axis=1) - 1)
-        fblk = jnp.dot(hi_oh, ftab_ref[:, :], preferred_element_type=jnp.float32)
+        fblk = jnp.dot(hi_oh, ftab_ref[:, :], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         lo_oh = (lo[:, None] == iota16).astype(jnp.float32)
         f = jnp.sum(fblk * lo_oh, axis=1).astype(jnp.int32).astype(jnp.uint32)
         c = jnp.sum(cand * lo_oh, axis=1).astype(jnp.int32).astype(jnp.uint32)
         sym = hi * 16 + lo
         x = f * (x >> PROB_BITS) + slot.astype(jnp.uint32) - c
-        # ≤2 refills; gather one byte per lane from the VMEM byte block
+        # ≤2 refills.  Mosaic has no vector int-indexing ("Cannot do int
+        # indexing on TPU"), so the per-lane byte fetch is a masked row-sum
+        # over the word iota — pure VPU select+reduce instead of a gather.
+        # Bytes are packed 4-per-int32 (little-endian) to quarter the VMEM
+        # footprint and the reduce width; a vector shift picks the byte.
         for _refill in range(2):
             need = (x < RANS32_L) & (p < lens)
-            nxt = bytes_ref[lane_iota, jnp.minimum(p, maxlen - 1)].astype(jnp.uint32)
+            word = jnp.sum(
+                jnp.where(word_iota == (p >> 2)[:, None], blk, 0), axis=1
+            )
+            nxt = ((word >> ((p & 3) * 8)) & 0xFF).astype(jnp.uint32)
             x = jnp.where(need, (x << 8) | nxt, x)
             p = jnp.where(need, p + 1, p)
-        states[g, :] = x
-        pos[g, :] = p
+        states[:] = x
+        pos[:] = p
         sym_ref[i, :] = sym
         return 0
 
@@ -119,14 +136,18 @@ def decode_nway_pallas(
     tile = _pick_tile(steps)
     num_tiles = steps // tile
 
-    # pad byte matrix columns to a lane multiple of 128 for clean blocks
-    pad_cols = (-max_lane_bytes) % 128
+    # pack 4 LE bytes per int32 word; pad so the word count is a multiple
+    # of 128 (clean lane-dim blocks)
+    pad_cols = (-max_lane_bytes) % 512
     if pad_cols:
         lane_bytes = jnp.pad(lane_bytes, ((0, 0), (0, pad_cols)))
     cols = max_lane_bytes + pad_cols
-
-    # int32 copies (Mosaic-friendly dynamic reads)
-    bytes_i32 = lane_bytes.astype(jnp.int32)
+    n_words = cols // 4
+    b4 = lane_bytes.astype(jnp.int32).reshape(n_lanes, n_words, 4)
+    bytes_i32 = (
+        b4[:, :, 0] | (b4[:, :, 1] << 8) | (b4[:, :, 2] << 16)
+        | (b4[:, :, 3] << 24)
+    )
     lens_i32 = lane_lens.astype(jnp.int32).reshape(1, n_lanes)
     cum_heads = cums.astype(jnp.float32)[::16].reshape(1, 16)
     ftab = freqs.astype(jnp.float32).reshape(16, 16)
@@ -137,7 +158,7 @@ def decode_nway_pallas(
         out_shape=jax.ShapeDtypeStruct((steps, n_lanes), jnp.int32),
         grid=(n_groups, num_tiles),
         in_specs=[
-            pl.BlockSpec((group, cols), lambda g, t: (g, 0),
+            pl.BlockSpec((group, n_words), lambda g, t: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, group), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
@@ -149,8 +170,8 @@ def decode_nway_pallas(
             (tile, group), lambda g, t: (t, g), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((1 if n_groups == 1 else n_groups, group), jnp.uint32),
-            pltpu.VMEM((1 if n_groups == 1 else n_groups, group), jnp.int32),
+            pltpu.VMEM((group,), jnp.uint32),
+            pltpu.VMEM((group,), jnp.int32),
         ],
         interpret=interpret,
     )(bytes_i32, lens_i32, cum_heads, ftab, ctab)

@@ -74,8 +74,10 @@ def _encode_kernel(sym_ref, ftab_ref, ctab_ref, packed_ref, states_out_ref,
         # intermediates than the flat 256-wide version, which blows VMEM
         # past 2048 lanes.  Values <= 4096 are exact in f32.
         hi_oh = ((row[:, None] >> 4) == iota16).astype(jnp.float32)
-        fblk = jnp.dot(hi_oh, ftab_ref[:, :], preferred_element_type=jnp.float32)
-        cblk = jnp.dot(hi_oh, ctab_ref[:, :], preferred_element_type=jnp.float32)
+        fblk = jnp.dot(hi_oh, ftab_ref[:, :], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        cblk = jnp.dot(hi_oh, ctab_ref[:, :], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         lo_oh = ((row[:, None] & 15) == iota16).astype(jnp.float32)
         f_sel = jnp.sum(fblk * lo_oh, axis=1)
         c_sel = jnp.sum(cblk * lo_oh, axis=1)

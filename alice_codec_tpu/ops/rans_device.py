@@ -58,11 +58,17 @@ def _mxu_table_lookup(idx: jnp.ndarray, table_f32: jnp.ndarray) -> jnp.ndarray:
     step; the one-hot contraction runs on the MXU instead (table values
     ≤ 4096 are exact in f32).  ``idx``: (lanes,) int32; ``table_f32``:
     (n, k); returns (lanes, k) f32.
+
+    HIGHEST precision is required: the TPU MXU's default f32 matmul rounds
+    inputs to bfloat16 (7 mantissa bits), which corrupts table values
+    > 256 and silently breaks bitstream compatibility on TPU while CPU
+    results stay exact.
     """
     n = table_f32.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
     onehot = (idx[:, None] == iota).astype(jnp.float32)
-    return jnp.dot(onehot, table_f32, preferred_element_type=jnp.float32)
+    return jnp.dot(onehot, table_f32, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _iota16(lanes: int) -> jnp.ndarray:
@@ -81,7 +87,8 @@ def _two_level_lookup(idx: jnp.ndarray, table2: jnp.ndarray) -> jnp.ndarray:
     k = table2.shape[1] // 16
     i16 = _iota16(lanes)
     hi_oh = ((idx[:, None] >> 4) == i16).astype(jnp.float32)
-    block = jnp.dot(hi_oh, table2, preferred_element_type=jnp.float32)
+    block = jnp.dot(hi_oh, table2, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     block = block.reshape(lanes, 16, k)
     lo_oh = ((idx[:, None] & 15) == i16).astype(jnp.float32)
     return jnp.einsum("lb,lbk->lk", lo_oh, block)
@@ -331,7 +338,8 @@ def decode_device_nway(
         hi = (jnp.sum(cum_heads[None, :] <= slot_f, axis=1) - 1).astype(jnp.int32)
         i16 = _iota16(slot.shape[0])
         hi_oh = (hi[:, None] == i16).astype(jnp.float32)
-        cand = jnp.dot(hi_oh, cums_blocks, preferred_element_type=jnp.float32)
+        cand = jnp.dot(hi_oh, cums_blocks, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         lo = (jnp.sum(cand <= slot_f, axis=1) - 1).astype(jnp.int32)
         sym = hi * 16 + lo
         fc = _two_level_lookup(sym, table2)

@@ -72,15 +72,21 @@ def chunk_frames(frames: np.ndarray, chunk_size: int = 64) -> tuple[np.ndarray, 
     return frames.reshape(b, chunk_size, *frames.shape[1:]), n
 
 
-# Batched device stages: vmap over the chunk axis.  B == 1 bypasses the
-# vmap and reuses the scalar pipeline's compiled program (the batched
-# 1080p-scale compile is pathologically slow on the remote compiler).
-def _encode_batch_device(rgb, step, dead_zone, *, wavelet_type, padded):
-    if rgb.shape[0] == 1:
-        syms, hists = encode_device(
-            rgb[0], step, dead_zone, wavelet_type=wavelet_type, padded=padded
-        )
-        return syms[None], hists[None]
+# Batched device stages: vmap over the chunk axis.  Unsharded batches run
+# chunk-by-chunk through the scalar pipeline's compiled program instead
+# (one chunk already saturates a chip, and the vmapped 1080p-scale compile
+# is pathologically slow on the remote compiler); the vmapped jit remains
+# the path for mesh-sharded batches.
+def _encode_batch_device(rgb, step, dead_zone, *, wavelet_type, padded,
+                         sharded=False):
+    if not sharded:
+        outs = [
+            encode_device(rgb[i], step, dead_zone, wavelet_type=wavelet_type,
+                          padded=padded)
+            for i in range(rgb.shape[0])
+        ]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
     return _encode_batch_device_jit(
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded
     )
@@ -92,13 +98,16 @@ def _encode_batch_device_jit(rgb, step, dead_zone, *, wavelet_type, padded):
     return jax.vmap(lambda x: fn(x, step, dead_zone))(rgb)
 
 
-def _decode_batch_device(symbols, steps, *, wavelet_type, dims, padded, exact=False):
-    if symbols.shape[0] == 1:
-        rgb = decode_device(
-            symbols[0], steps[0], steps[0],
-            wavelet_type=wavelet_type, dims=dims, padded=padded, exact=exact,
-        )
-        return rgb[None]
+def _decode_batch_device(symbols, steps, *, wavelet_type, dims, padded,
+                         exact=False, sharded=False):
+    if not sharded:
+        outs = [
+            decode_device(symbols[i], steps[i], steps[i],
+                          wavelet_type=wavelet_type, dims=dims, padded=padded,
+                          exact=exact)
+            for i in range(symbols.shape[0])
+        ]
+        return jnp.stack(outs)
     return _decode_batch_device_jit(
         symbols, steps, wavelet_type=wavelet_type, dims=dims, padded=padded,
         exact=exact,
@@ -297,6 +306,7 @@ class BatchFrameEncoder:
             jnp.int32(self.step),
             wavelet_type=self.wavelet_type,
             padded=padded,
+            sharded=self.mesh is not None,
         )
 
     def encode(self, batch) -> EncodedChunkStream:
@@ -521,6 +531,7 @@ class BatchFrameDecoder:
             dims=(w, h, t),
             padded=padded,
             exact=exact,
+            sharded=self.mesh is not None,
         )
         if not as_numpy:
             return rgb
