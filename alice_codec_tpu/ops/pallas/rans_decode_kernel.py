@@ -26,12 +26,35 @@ PROB_SCALE = 1 << PROB_BITS
 RANS32_L = 1 << 23
 
 TILE_S = 8
-#: lanes per grid group: bounds the VMEM byte-matrix block.
+#: max lanes per grid group: bounds the VMEM byte-matrix block.
 GROUP_LANES = 2048
+#: VMEM budget (bytes) for the per-group word matrix and its masked-sum
+#: temporaries (~3 live copies); the hard Mosaic stack limit is 16 MB.
+_VMEM_BUDGET = 8 << 20
 
 
-def _decode_kernel(bytes_ref, lens_ref, cumh_ref, ftab_ref, ctab_ref,
-                   sym_ref, states, pos):
+def _pick_group(n_lanes: int, n_words: int) -> int:
+    """Largest power-of-two group ≤ GROUP_LANES dividing ``n_lanes`` whose
+    word block (plus ~2 masked-sum temporaries) fits the VMEM budget."""
+    group = min(GROUP_LANES, n_lanes)
+    while group > 256 and 3 * 4 * group * n_words > _VMEM_BUDGET:
+        group //= 2
+    while n_lanes % group:
+        group //= 2
+    return group
+
+
+def _dot16_exact(oh, hi_ref, lo_ref):
+    """Exact table lookup via two default-precision MXU dots (see
+    rans_kernel._dot16_exact — MXU bf16 rounding corrupts values > 256)."""
+    return (
+        jnp.dot(oh, hi_ref[:, :], preferred_element_type=jnp.float32) * 256.0
+        + jnp.dot(oh, lo_ref[:, :], preferred_element_type=jnp.float32)
+    )
+
+
+def _decode_kernel(bytes_ref, lens_ref, cumh_ref, fhi_ref, flo_ref,
+                   chi_ref, clo_ref, sym_ref, states, pos):
     tile_rows = sym_ref.shape[0]
     n_lanes = bytes_ref.shape[0]
     iota16 = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, 16), 1)
@@ -67,11 +90,9 @@ def _decode_kernel(bytes_ref, lens_ref, cumh_ref, ftab_ref, ctab_ref,
         hi = (jnp.sum((cumh_ref[0, :][None, :] <= slot_f).astype(jnp.int32),
                       axis=1) - 1)
         hi_oh = (hi[:, None] == iota16).astype(jnp.float32)
-        cand = jnp.dot(hi_oh, ctab_ref[:, :], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        cand = _dot16_exact(hi_oh, chi_ref, clo_ref)
         lo = (jnp.sum((cand <= slot_f).astype(jnp.int32), axis=1) - 1)
-        fblk = jnp.dot(hi_oh, ftab_ref[:, :], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        fblk = _dot16_exact(hi_oh, fhi_ref, flo_ref)
         lo_oh = (lo[:, None] == iota16).astype(jnp.float32)
         f = jnp.sum(fblk * lo_oh, axis=1).astype(jnp.int32).astype(jnp.uint32)
         c = jnp.sum(cand * lo_oh, axis=1).astype(jnp.int32).astype(jnp.uint32)
@@ -129,10 +150,6 @@ def decode_nway_pallas(
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
 
-    group = min(GROUP_LANES, n_lanes)
-    if n_lanes % group:
-        raise ValueError(f"n_lanes ({n_lanes}) must be a multiple of {group}")
-    n_groups = n_lanes // group
     tile = _pick_tile(steps)
     num_tiles = steps // tile
 
@@ -143,6 +160,11 @@ def decode_nway_pallas(
         lane_bytes = jnp.pad(lane_bytes, ((0, 0), (0, pad_cols)))
     cols = max_lane_bytes + pad_cols
     n_words = cols // 4
+
+    group = _pick_group(n_lanes, n_words)
+    if n_lanes % group:
+        raise ValueError(f"n_lanes ({n_lanes}) must be a multiple of {group}")
+    n_groups = n_lanes // group
     b4 = lane_bytes.astype(jnp.int32).reshape(n_lanes, n_words, 4)
     bytes_i32 = (
         b4[:, :, 0] | (b4[:, :, 1] << 8) | (b4[:, :, 2] << 16)
@@ -150,8 +172,13 @@ def decode_nway_pallas(
     )
     lens_i32 = lane_lens.astype(jnp.int32).reshape(1, n_lanes)
     cum_heads = cums.astype(jnp.float32)[::16].reshape(1, 16)
-    ftab = freqs.astype(jnp.float32).reshape(16, 16)
-    ctab = cums.astype(jnp.float32).reshape(16, 16)
+    # hi/lo-byte split tables: MXU bf16 rounding corrupts values > 256
+    f32 = freqs.astype(jnp.int32)
+    c32 = cums.astype(jnp.int32)
+    fhi = (f32 >> 8).astype(jnp.float32).reshape(16, 16)
+    flo = (f32 & 255).astype(jnp.float32).reshape(16, 16)
+    chi = (c32 >> 8).astype(jnp.float32).reshape(16, 16)
+    clo = (c32 & 255).astype(jnp.float32).reshape(16, 16)
 
     sym = pl.pallas_call(
         _decode_kernel,
@@ -163,9 +190,10 @@ def decode_nway_pallas(
             pl.BlockSpec((1, group), lambda g, t: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda g, t: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + [
+            pl.BlockSpec((16, 16), lambda g, t: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 4,
         out_specs=pl.BlockSpec(
             (tile, group), lambda g, t: (t, g), memory_space=pltpu.VMEM
         ),
@@ -174,5 +202,5 @@ def decode_nway_pallas(
             pltpu.VMEM((group,), jnp.int32),
         ],
         interpret=interpret,
-    )(bytes_i32, lens_i32, cum_heads, ftab, ctab)
+    )(bytes_i32, lens_i32, cum_heads, fhi, flo, chi, clo)
     return sym

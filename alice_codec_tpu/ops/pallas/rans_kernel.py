@@ -56,8 +56,24 @@ def _pick_tile(steps: int) -> int:
     )
 
 
-def _encode_kernel(sym_ref, ftab_ref, ctab_ref, packed_ref, states_out_ref,
-                   states):
+def _dot16_exact(oh, hi_ref, lo_ref):
+    """Exact table lookup via two default-precision MXU dots.
+
+    The TPU MXU's default f32 matmul rounds inputs to bfloat16 (7-bit
+    mantissa), corrupting table values > 256.  Splitting each entry into
+    hi = v >> 8 (≤ 16) and lo = v & 255 (≤ 255) keeps both sides exact in
+    bf16, so ``256*dot(oh, hi) + dot(oh, lo)`` reconstructs v exactly —
+    cheaper than Precision.HIGHEST (2 MXU passes vs 6) and within the
+    16 MB VMEM stack budget at 4096+ lanes.
+    """
+    return (
+        jnp.dot(oh, hi_ref[:, :], preferred_element_type=jnp.float32) * 256.0
+        + jnp.dot(oh, lo_ref[:, :], preferred_element_type=jnp.float32)
+    )
+
+
+def _encode_kernel(sym_ref, fhi_ref, flo_ref, chi_ref, clo_ref, packed_ref,
+                   states_out_ref, states):
     @pl.when(pl.program_id(0) == 0)
     def _():
         states[:] = jnp.full_like(states[:], RANS32_L)
@@ -72,12 +88,10 @@ def _encode_kernel(sym_ref, ftab_ref, ctab_ref, packed_ref, states_out_ref,
         # Two-level table lookup (hi nibble picks the 16-row block via a
         # 16-wide matmul, lo nibble selects within it): 16x smaller one-hot
         # intermediates than the flat 256-wide version, which blows VMEM
-        # past 2048 lanes.  Values <= 4096 are exact in f32.
+        # past 2048 lanes.  Tables are hi/lo-byte split for MXU exactness.
         hi_oh = ((row[:, None] >> 4) == iota16).astype(jnp.float32)
-        fblk = jnp.dot(hi_oh, ftab_ref[:, :], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        cblk = jnp.dot(hi_oh, ctab_ref[:, :], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        fblk = _dot16_exact(hi_oh, fhi_ref, flo_ref)
+        cblk = _dot16_exact(hi_oh, chi_ref, clo_ref)
         lo_oh = ((row[:, None] & 15) == iota16).astype(jnp.float32)
         f_sel = jnp.sum(fblk * lo_oh, axis=1)
         c_sel = jnp.sum(cblk * lo_oh, axis=1)
@@ -134,9 +148,14 @@ def encode_nway_pallas(
     tile = _pick_tile(steps)
     num_tiles = steps // tile
 
-    # (16,16) block tables: row b holds symbols 16b..16b+15
-    ftab = freqs.astype(jnp.float32).reshape(16, 16)
-    ctab = cums.astype(jnp.float32).reshape(16, 16)
+    # (16,16) block tables: row b holds symbols 16b..16b+15; hi/lo-byte
+    # split so MXU bf16 rounding can't corrupt values > 256.
+    f32 = freqs.astype(jnp.int32)
+    c32 = cums.astype(jnp.int32)
+    fhi = (f32 >> 8).astype(jnp.float32).reshape(16, 16)
+    flo = (f32 & 255).astype(jnp.float32).reshape(16, 16)
+    chi = (c32 >> 8).astype(jnp.float32).reshape(16, 16)
+    clo = (c32 & 255).astype(jnp.float32).reshape(16, 16)
 
     def rev(i):
         return (num_tiles - 1 - i, 0)
@@ -150,16 +169,16 @@ def encode_nway_pallas(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + [
+            pl.BlockSpec((16, 16), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ] * 4,
         out_specs=(
             pl.BlockSpec((tile, n_lanes), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((n_lanes,), jnp.uint32)],
         interpret=interpret,
-    )(sym_rows, ftab, ctab)
+    )(sym_rows, fhi, flo, chi, clo)
 
     bytes2 = jnp.stack(
         [(packed & 0xFF).astype(jnp.uint8), ((packed >> 8) & 0xFF).astype(jnp.uint8)],
