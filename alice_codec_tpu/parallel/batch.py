@@ -186,6 +186,23 @@ def _decode_scan_batch(lane_mats, lane_lens, freqs, cums, luts, *,
     return jax.vmap(one)(lane_mats, lane_lens, freqs, cums, luts)
 
 
+def _decode_pallas_batch(lane_mats, lane_lens, freqs, cums, *,
+                         n_lanes, steps, max_lane_bytes):
+    """Per-channel Pallas decode (same stream/symbol layout as the scan
+    coder).  Channels run sequentially through one compiled kernel; the
+    kernel itself keeps every lane of a channel busy."""
+    from ..ops.pallas.rans_decode_kernel import decode_nway_pallas
+
+    outs = [
+        decode_nway_pallas(
+            lane_mats[i], lane_lens[i], freqs[i], cums[i],
+            n_lanes=n_lanes, steps=steps, max_lane_bytes=max_lane_bytes,
+        ).reshape(-1)
+        for i in range(lane_mats.shape[0])
+    ]
+    return jnp.stack(outs).astype(jnp.uint8)
+
+
 @dataclass
 class EncodedChunkStream:
     """A batch of compressed chunks in the ALC2 container."""
@@ -428,9 +445,13 @@ class BatchFrameDecoder:
     inverse-wavelet → color stage consumes them directly.
     """
 
-    def __init__(self, *, mesh=None, device_entropy: bool = False):
+    def __init__(self, *, mesh=None, device_entropy: bool = False,
+                 pallas_entropy: bool = False):
         self.mesh = mesh
-        self.device_entropy = bool(device_entropy)
+        # pallas_entropy implies device_entropy: the kernel replaces the
+        # lax.scan coder for the symbol reconstruction.
+        self.device_entropy = bool(device_entropy) or bool(pallas_entropy)
+        self.pallas_entropy = bool(pallas_entropy)
 
     def decode(self, stream: EncodedChunkStream, *, exact: bool = False,
                as_numpy: bool = True):
@@ -486,18 +507,33 @@ class BatchFrameDecoder:
                     data[np.minimum(idx, max(len(data) - 1, 0))],
                     where=mask,
                 )
-            sym_dev = _decode_scan_batch(
-                jnp.asarray(lane_mats),
-                jnp.asarray(
-                    stream.lane_lens.reshape(b * 3, n_lanes).astype(np.int32)
-                ),
-                jnp.asarray(np.stack([tb.freqs for tb in tables])),
-                jnp.asarray(np.stack([tb.cums for tb in tables])),
-                jnp.asarray(np.stack([tb.cum_to_sym for tb in tables])),
-                n_lanes=n_lanes,
-                steps=n_sym // n_lanes,
-                max_lane_bytes=max_len,
+            lane_mats_dev = jnp.asarray(lane_mats)
+            lens_dev = jnp.asarray(
+                stream.lane_lens.reshape(b * 3, n_lanes).astype(np.int32)
             )
+            freqs_dev = jnp.asarray(np.stack([tb.freqs for tb in tables]))
+            cums_dev = jnp.asarray(np.stack([tb.cums for tb in tables]))
+            n_steps = n_sym // n_lanes
+            use_pallas = (
+                self.pallas_entropy
+                and (n_steps <= 8 or any(n_steps % t == 0 for t in (8,)))
+            )
+            if use_pallas:
+                sym_dev = _decode_pallas_batch(
+                    lane_mats_dev, lens_dev, freqs_dev, cums_dev,
+                    n_lanes=n_lanes, steps=n_steps, max_lane_bytes=max_len,
+                )
+            else:
+                sym_dev = _decode_scan_batch(
+                    lane_mats_dev,
+                    lens_dev,
+                    freqs_dev,
+                    cums_dev,
+                    jnp.asarray(np.stack([tb.cum_to_sym for tb in tables])),
+                    n_lanes=n_lanes,
+                    steps=n_steps,
+                    max_lane_bytes=max_len,
+                )
             sym_dev = sym_dev[:, :padded_pixels].reshape(b, 3, padded_pixels)
         else:
             lib = get_lib()

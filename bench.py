@@ -61,18 +61,17 @@ def main() -> None:
     # the OpenMP host coder instead.
     device_entropy = not os.environ.get("ALC_BENCH_HOST_ENTROPY")
     dec_device = device_entropy and not os.environ.get("ALC_BENCH_DEC_HOST")
-    # Measured optimum on this rig: scan coder at 8192 lanes both ways
-    # (0.027 chunks/s).  The Pallas encoder hits >1 Gsym/s at <=4096 lanes
-    # (ALC_BENCH_PALLAS=1 to enable) but halving the lane count doubles the
-    # decode scan's step count, which dominates; the decode kernel is the
-    # round-2 unlock.
+    # ALC_BENCH_PALLAS=1 runs both Pallas rANS kernels (encode + decode)
+    # instead of the lax.scan coders; encode kernel VMEM caps lanes at 4096.
     use_pallas = bool(os.environ.get("ALC_BENCH_PALLAS"))
-    lanes = int(os.environ.get("ALC_BENCH_LANES", "8192"))
+    lanes = int(os.environ.get("ALC_BENCH_LANES", "4096" if use_pallas else "8192"))
     encoder = BatchFrameEncoder(
         quality=90, wavelet="cdf53", device_entropy=device_entropy, n_lanes=lanes,
         pallas_entropy=use_pallas,
     )
-    decoder = BatchFrameDecoder(device_entropy=dec_device)
+    decoder = BatchFrameDecoder(
+        device_entropy=dec_device, pallas_entropy=use_pallas and dec_device
+    )
 
     # Warmup at the measured batch shape (single compile set; the
     # persistent compilation cache makes repeat runs fast).

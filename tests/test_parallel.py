@@ -178,3 +178,15 @@ def test_pallas_entropy_matches_scan_payload():
     assert np.array_equal(pallas_s.lane_lens, scan_s.lane_lens)
     out = BatchFrameDecoder(device_entropy=True).decode(pallas_s)
     assert out.shape == batch.shape
+
+
+def test_pallas_decode_matches_all_paths():
+    """BatchFrameDecoder(pallas_entropy=True) decodes identically to the
+    scan-coder and host decode paths."""
+    batch = _batch(b=2, t=2, h=8, w=8, seed=9)
+    stream = BatchFrameEncoder(quality=85, n_lanes=8).encode(batch)
+    out_pallas = BatchFrameDecoder(pallas_entropy=True).decode(stream)
+    out_scan = BatchFrameDecoder(device_entropy=True).decode(stream)
+    out_host = BatchFrameDecoder().decode(stream)
+    assert np.array_equal(out_pallas, out_scan)
+    assert np.array_equal(out_pallas, out_host)
