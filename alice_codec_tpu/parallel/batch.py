@@ -186,6 +186,24 @@ def _decode_scan_batch(lane_mats, lane_lens, freqs, cums, luts, *,
     return jax.vmap(one)(lane_mats, lane_lens, freqs, cums, luts)
 
 
+@partial(jax.jit, static_argnames=("n_lanes", "max_lane_bytes"))
+def _build_lane_mats(payload, starts, lens, *, n_lanes, max_lane_bytes):
+    """Device-side ragged→padded lane-matrix build.
+
+    ``payload``: flat uint8 of all compressed bytes; ``starts``/``lens``:
+    (C, n_lanes) int32 absolute lane offsets/lengths.  Returns
+    (C, n_lanes, max_lane_bytes) uint8 — the same layout the host loop
+    produced, but with one small upload and an XLA gather instead of a
+    multi-second single-core NumPy gather.
+    """
+    c = starts.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, n_lanes, max_lane_bytes), 2)
+    idx = starts[:, :, None] + col
+    mask = col < lens[:, :, None]
+    flat = jnp.take(payload, jnp.where(mask, idx, 0), axis=0)
+    return jnp.where(mask, flat, 0)
+
+
 def _decode_pallas_batch(lane_mats, lane_lens, freqs, cums, *,
                          n_lanes, steps, max_lane_bytes):
     """Per-channel Pallas decode (same stream/symbol layout as the scan
@@ -493,23 +511,25 @@ class BatchFrameDecoder:
 
         if self.device_entropy:
             max_len = int(stream.lane_lens.max()) if stream.lane_lens.size else 4
-            lane_mats = np.zeros((b * 3, n_lanes, max_len), np.uint8)
-            col = np.arange(max_len)
-            for i, (s0, s1) in enumerate(spans):
-                # vectorized ragged→padded: one gather per channel
-                data = payload[s0:s1]
-                lens = stream.lane_lens.reshape(b * 3, n_lanes)[i].astype(np.int64)
-                starts = np.cumsum(lens) - lens
-                idx = starts[:, None] + col[None, :]
-                mask = col[None, :] < lens[:, None]
-                np.copyto(
-                    lane_mats[i],
-                    data[np.minimum(idx, max(len(data) - 1, 0))],
-                    where=mask,
-                )
-            lane_mats_dev = jnp.asarray(lane_mats)
-            lens_dev = jnp.asarray(
-                stream.lane_lens.reshape(b * 3, n_lanes).astype(np.int32)
+            # bucket the padded lane length so the gather program is reused
+            # across streams of similar size
+            max_len = max_len + (-max_len) % 512
+            # absolute per-lane byte offsets into the whole payload (host
+            # cumsum over a few thousand ints; the heavy gather runs on
+            # device off one flat payload upload)
+            lens_i64 = stream.lane_lens.reshape(b * 3, n_lanes).astype(np.int64)
+            starts = np.cumsum(lens_i64.reshape(-1)).reshape(b * 3, n_lanes)
+            starts -= lens_i64
+            base = np.asarray([s0 for (s0, _) in spans], np.int64)
+            rel0 = starts[:, :1]  # channel-local origin
+            starts = starts - rel0 + base[:, None]
+            lens_dev = jnp.asarray(lens_i64.astype(np.int32))
+            lane_mats_dev = _build_lane_mats(
+                jnp.asarray(payload),
+                jnp.asarray(starts.astype(np.int32)),
+                lens_dev,
+                n_lanes=n_lanes,
+                max_lane_bytes=max_len,
             )
             freqs_dev = jnp.asarray(np.stack([tb.freqs for tb in tables]))
             cums_dev = jnp.asarray(np.stack([tb.cums for tb in tables]))
