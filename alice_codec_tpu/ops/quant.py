@@ -93,12 +93,16 @@ def from_symbols(symbols: jnp.ndarray) -> jnp.ndarray:
 def build_histogram(symbols: jnp.ndarray) -> jnp.ndarray:
     """256-bin histogram of byte symbols, uint32 (src/quant.rs:594-600).
 
-    Works on any shape; counts all elements.  Implemented as a scatter-add
-    which XLA lowers efficiently on TPU; hot paths use the fused Pallas
-    histogram kernel instead (ops/pallas/histogram.py).
+    Works on any shape; counts all elements.  Implemented as a fused
+    compare-and-reduce (one virtual (N, 256) one-hot reduced over N):
+    TPU scatter-adds serialize per update, while this form streams the
+    symbols once and keeps 256 int32 accumulators in registers — the
+    whole 256-wide compare runs as VPU vector ops.
     """
     flat = symbols.reshape(-1).astype(jnp.int32)
-    return jnp.zeros((256,), jnp.uint32).at[flat].add(jnp.uint32(1))
+    bins = jnp.arange(256, dtype=jnp.int32)
+    onehot = (flat[:, None] == bins[None, :]).astype(jnp.uint32)
+    return jnp.sum(onehot, axis=0, dtype=jnp.uint32)
 
 
 # ── Host object API (mirrors reference classes) ─────────────────

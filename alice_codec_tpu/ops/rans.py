@@ -367,48 +367,59 @@ class InterleavedRansEncoder:
 
 
 class InterleavedRansDecoder:
-    """4-stream interleaved decoder (reference src/rans.rs:465-524)."""
+    """4-stream interleaved decoder (reference src/rans.rs:465-524).
+
+    Stateful across calls, like the reference: two sequential
+    ``decode_n(20, t)`` calls return the same symbols as one
+    ``decode_n(40, t)`` — each call resumes the four per-stream decoders
+    and the round-robin cursor where the previous call left them.
+    """
 
     def __init__(self, data: bytes):
-        self._data = np.ascontiguousarray(np.frombuffer(bytes(data), np.uint8))
+        data = bytes(data)
+        self._data = np.ascontiguousarray(np.frombuffer(data, np.uint8))
         lens = [int.from_bytes(data[4 * i : 4 * i + 4], "little") for i in range(4)]
         counts = [
             int.from_bytes(data[16 + 4 * i : 20 + 4 * i], "little") for i in range(4)
         ]
         self.stream_lens = lens
         self.symbols_remaining = counts
-
-    def decode_n(self, n: int, table: FrequencyTable) -> np.ndarray:
-        lib = get_lib()
-        if lib is not None:
-            out = np.empty(n, np.uint8)
-            lib.alc_rans_decode4(
-                _ctypes_ptr(self._data), len(self._data), n,
-                _ctypes_ptr(table.freqs), _ctypes_ptr(table.cums),
-                _ctypes_ptr(table.cum_to_sym), _ctypes_ptr(out),
-            )
-            # mirror the reference's stateful bookkeeping
-            taken = min(n, sum(self.symbols_remaining))
-            for i in range(taken):
-                self.symbols_remaining[i % 4] -= 1
-            return out
-        data = bytes(self._data)
         offs = [32]
-        for ln in self.stream_lens:
+        for ln in lens:
             offs.append(offs[-1] + ln)
-        decoders = [
+        # Persistent per-stream decoders (themselves stateful: state + byte
+        # position survive across decode_n calls) and the rotating stream
+        # index — the reference decoder's `next_stream` equivalent.
+        self._decoders = [
             RansDecoder(data[offs[i] : offs[i + 1]]) for i in range(4)
         ]
+        self._next = 0
+
+    def decode_n(self, n: int, table: FrequencyTable) -> np.ndarray:
         out = np.empty(n, np.uint8)
         remaining = list(self.symbols_remaining)
-        k = 0
+        k = self._next
+        # Round-robin pick sequence for this call (skipping exhausted
+        # streams, as the reference does near the tail).
+        picks = np.empty(n, np.int8)
         for i in range(n):
-            while remaining[k] == 0:
-                k = (k + 1) % 4
-            out[i] = decoders[k].decode(table)
-            remaining[k] -= 1
+            if remaining[0] or remaining[1] or remaining[2] or remaining[3]:
+                while remaining[k] == 0:
+                    k = (k + 1) % 4
+                remaining[k] -= 1
+            # else: every stream exhausted — keep round-robin order and let
+            # the per-stream decoders emit their past-end symbols, exactly
+            # what the reference's decode loop degenerates to.
+            picks[i] = k
             k = (k + 1) % 4
+        # Decode each stream's quota in one (native-accelerated, stateful)
+        # per-stream call, then interleave into round-robin output order.
+        for s in range(4):
+            idx = np.nonzero(picks == s)[0]
+            if idx.size:
+                out[idx] = self._decoders[s].decode_n(int(idx.size), table)
         self.symbols_remaining = remaining
+        self._next = k
         return out
 
 

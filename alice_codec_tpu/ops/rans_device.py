@@ -91,7 +91,11 @@ def _two_level_lookup(idx: jnp.ndarray, table2: jnp.ndarray) -> jnp.ndarray:
                    precision=jax.lax.Precision.HIGHEST)
     block = block.reshape(lanes, 16, k)
     lo_oh = ((idx[:, None] & 15) == i16).astype(jnp.float32)
-    return jnp.einsum("lb,lbk->lk", lo_oh, block)
+    # HIGHEST here too: the contracted block holds freq/cum values up to
+    # 4095, beyond the bf16-exact range the MXU's default precision rounds
+    # inputs to (silent bitstream corruption on TPU; CPU tests can't see it).
+    return jnp.einsum("lb,lbk->lk", lo_oh, block,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _lane_view(symbols: jnp.ndarray, n_lanes: int) -> jnp.ndarray:

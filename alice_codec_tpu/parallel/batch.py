@@ -534,10 +534,14 @@ class BatchFrameDecoder:
             freqs_dev = jnp.asarray(np.stack([tb.freqs for tb in tables]))
             cums_dev = jnp.asarray(np.stack([tb.cums for tb in tables]))
             n_steps = n_sym // n_lanes
-            use_pallas = (
-                self.pallas_entropy
-                and (n_steps <= 8 or any(n_steps % t == 0 for t in (8,)))
-            )
+            use_pallas = self.pallas_entropy
+            if use_pallas:
+                from ..ops.pallas.rans_decode_kernel import _pick_tile
+
+                try:  # ask the kernel itself whether this shape tiles
+                    _pick_tile(n_steps)
+                except ValueError:
+                    use_pallas = False  # silent scan fallback, same bytes
             if use_pallas:
                 sym_dev = _decode_pallas_batch(
                     lane_mats_dev, lens_dev, freqs_dev, cums_dev,

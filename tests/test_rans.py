@@ -194,6 +194,26 @@ def test_interleaved_roundtrip(n):
     assert np.array_equal(out, syms)
 
 
+@pytest.mark.parametrize("split", [(20, 20), (1, 39), (13, 13, 14)])
+def test_interleaved_decode_is_resumable(split):
+    """Sequential decode_n calls must continue where the last one stopped
+    (the reference decoder is stateful across calls, src/rans.rs:465-524)."""
+    rng = np.random.default_rng(3)
+    n = sum(split)
+    syms = rng.integers(0, 32, size=n).astype(np.uint8)
+    hist = np.bincount(syms, minlength=256).astype(np.uint32)
+    table = rans.FrequencyTable.from_histogram(hist)
+    enc = rans.InterleavedRansEncoder()
+    enc.encode(syms, table)
+    data = enc.finish()
+
+    one_shot = rans.InterleavedRansDecoder(data).decode_n(n, table)
+    dec = rans.InterleavedRansDecoder(data)
+    pieces = [dec.decode_n(k, table) for k in split]
+    assert np.array_equal(np.concatenate(pieces), one_shot)
+    assert np.array_equal(one_shot, syms)
+
+
 def test_interleaved_native_matches_python_spec(monkeypatch):
     """Native 4-way encoder must produce the same bytes as the spec path."""
     rng = np.random.default_rng(11)
