@@ -4,48 +4,59 @@ The round-1 device entropy coders kept the reference's byte-oriented
 per-lane streams (reference src/rans.rs:238-389), which forces the decoder
 to track one byte cursor PER LANE — on TPU that refill becomes a gather
 (or an O(stream) masked reduction) per symbol step and dominates decode
-time.  ALC3 re-blocks the wire so the whole lane group shares ONE cursor:
+time.  ALC3 re-blocks the wire around three ideas:
 
 * **16-bit renormalization** ("word rANS"): 32-bit state, interval
   [2^16, 2^32), emitting/consuming one uint16 at a time.  Each decode step
   refills each lane with AT MOST ONE u16 (vs 0-2 bytes for the byte
   variant), and the emit test is branch-free: ``emit ⇔ (x >> 20) >= freq``.
-* **Decode-order interleave**: the stream stores, for decode step j, the
-  u16s consumed at step j by the refilling lanes in ascending lane order.
-  The decoder's refill is then a *sequential window read* — one global
-  cursor, advanced by the per-step refill count; each lane's position
-  within the window is the exclusive cumsum of the refill flags (a
-  vector op).  No per-lane cursors, no gathers over the whole stream.
-* **Group framing**: lanes are split into groups of ``group_size``; each
-  group owns an independent stream (its own cursor), so a Pallas kernel
-  can process one group per grid slot with bounded VMEM.
+* **One cursor per stream**: words are laid out in *emission order*, which
+  is exactly reverse decode order — the decoder walks a single cursor
+  BACKWARD through the stream and each step's refill is a sequential
+  window read.  A lane's position inside the window is the exclusive
+  cumsum of the refill flags (a vector op / small matmul on TPU).  No
+  per-lane cursors, no gathers over the whole stream, and the encoder is
+  single-pass with NO post-hoc compaction or reversal.
+* **Fixed-size segments**: the symbol stream is tiled into independent
+  segments of ``s_seg × ng`` symbols (row-major; lane k of a segment owns
+  its local symbols k, k+ng, …).  Segments are decoded (and encoded) in
+  parallel — on TPU, one Pallas grid slot per segment with a statically
+  bounded VMEM footprint; across chunks/channels/batches everything folds
+  into one grid.  Each segment pays 2·ng words of state flush.
 
-Per-group stream layout (u16 little-endian on the wire)::
+Per-segment stream layout (u16 values; "words")::
 
-    row 0: Ng × u16   state_hi  (lane-ascending)    ─┐ decoder init:
-    row 1: Ng × u16   state_lo                       ┘ x = hi<<16 | lo
-    then for j = 0..S-1: the u16s decode step j consumes, lane-ascending
+    words[0 : n_emit]          renormalization words, appended while
+                               encoding steps j = s_seg-1 … 0; within a
+                               step, emitting lanes in ASCENDING lane order
+    words[n_emit : n_emit+ng]  state_hi per lane (x >> 16), lane-ascending
+    words[+ng : +2·ng]         state_lo per lane (x & 0xFFFF)
 
-Lane ownership: with N total lanes (= n_groups × group_size) over a
-symbol buffer of length S·N, lane k owns symbols k, k+N, k+2N, …; group g
-owns lanes [g·Ng, (g+1)·Ng) — i.e. symbol row j of group g is the
-contiguous slice ``symbols[j*N + g*Ng : j*N + (g+1)*Ng]``.
+    count = n_emit + 2·ng      (per-segment word count, stored separately)
 
-State math (PROB_BITS=12, same tables/histograms as `.alc`):
+The decoder reads the two state rows at ``count-2·ng``, then walks steps
+j = 0 … s_seg-1 consuming each step's refill words from a cursor that
+starts at ``n_emit`` and moves DOWN: step j's k words occupy
+``[cursor-k, cursor)`` with the r-th refilling lane (ascending) at
+``cursor-k+r``.  A valid stream ends with every lane back at ``WORD_L``
+and the cursor at 0 — the final-state invariant callers may verify.
 
-* encode (LIFO):  ``if (x >> 20) >= f: emit u16 = x & 0xFFFF; x >>= 16``
+State math (PROB_BITS=12; same 256-bin histograms and sanitized
+normalization as `.alc`/ALC2 — see FrequencyTable.from_histogram):
+
+* encode (LIFO): ``if (x >> 20) >= f: emit u16 = x & 0xFFFF; x >>= 16``
   then ``x = (x // f) << 12 | (x % f + cum)``;
 * decode: ``slot = x & 4095; x = f·(x >> 12) + slot - cum``
   then ``if x < 2^16: x = x << 16 | next_u16``.
 
-One refill always suffices: after the decode update ``x ≥ x_prev >> 12 ≥
-2^4``, so ``x << 16 ≥ 2^20 ≥ 2^16``.  The emit threshold is evaluated as
+One refill always suffices: after the decode update ``x ≥ f·2^4 ≥ 2^4``,
+so ``x << 16 | w ≥ 2^20 > 2^16``.  The emit threshold is evaluated as
 ``(x >> 20) >= f`` so that f = 4096 (a single-symbol table) cannot
-overflow the 32-bit product ``f << 20``.
+overflow the 32-bit product ``f << 20``.  The emit test is exact duality:
+after a decode refill ``x ≥ f·2^20``; without one ``x < f·2^20``.
 
 This module is the NumPy reference implementation (the "spec"); the
-Pallas kernels in ops/pallas/rans3_kernels.py and the XLA glue in
-ops/rans3_device.py must match it u16-for-u16.
+Pallas kernels in ops/pallas/rans3_kernels.py must match it word-for-word.
 """
 
 from __future__ import annotations
@@ -56,8 +67,9 @@ __all__ = [
     "WORD_L",
     "PROB_BITS",
     "PROB_SCALE",
-    "encode_group_words",
-    "decode_group_words",
+    "segment_capacity_words",
+    "encode_segment_words",
+    "decode_segment_words",
     "encode_channel_words",
     "decode_channel_words",
 ]
@@ -68,46 +80,57 @@ PROB_SCALE = 1 << PROB_BITS
 WORD_L = 1 << 16
 
 
-def encode_group_words(sym_rows: np.ndarray, freqs, cums) -> np.ndarray:
-    """Encode one lane group.  ``sym_rows``: (S, Ng) uint8 symbol rows
-    (row j = the group's symbols at decode step j).  Returns the group's
-    u16 stream in decode order (2 state rows + per-step refill words)."""
+def segment_capacity_words(s_seg: int, ng: int) -> int:
+    """Hard upper bound on one segment's word count: every lane can emit at
+    most one word per step (16-bit renorm), plus the 2·ng state words."""
+    return (s_seg + 2) * ng
+
+
+def encode_segment_words(sym_rows: np.ndarray, freqs, cums) -> np.ndarray:
+    """Encode one segment.  ``sym_rows``: (s_seg, ng) uint8 symbol rows
+    (row j = the segment's symbols at decode step j).  Returns the
+    segment's u16 word stream in emission order (refill words + 2 state
+    rows; see module docstring)."""
     sym_rows = np.asarray(sym_rows, np.uint8)
     s_steps, ng = sym_rows.shape
     freqs = np.asarray(freqs).astype(np.uint32)
     cums = np.asarray(cums).astype(np.uint32)
 
     x = np.full(ng, WORD_L, np.uint32)
-    step_words: list[np.ndarray] = [None] * s_steps  # type: ignore[list-item]
+    parts: list[np.ndarray] = []
     for j in range(s_steps - 1, -1, -1):
         s = sym_rows[j]
         f = freqs[s]
         c = cums[s]
         emit = (x >> 20) >= f
-        # decode step j consumes these, ascending lane order
-        step_words[j] = (x[emit] & 0xFFFF).astype(np.uint16)
+        # decode step j consumes these; ascending lane order
+        parts.append((x[emit] & 0xFFFF).astype(np.uint16))
         x = np.where(emit, x >> 16, x)
         x = ((x // f) << PROB_BITS) + (x % f) + c
-    head = np.concatenate([x >> 16, x & 0xFFFF]).astype(np.uint16)
-    return np.concatenate([head] + step_words)
+    parts.append((x >> 16).astype(np.uint16))
+    parts.append((x & 0xFFFF).astype(np.uint16))
+    return np.concatenate(parts)
 
 
-def decode_group_words(
-    stream: np.ndarray, n_steps: int, ng: int, freqs, cums, cum_to_sym
+def decode_segment_words(
+    stream: np.ndarray, count: int, s_seg: int, ng: int, freqs, cums, cum_to_sym
 ) -> tuple[np.ndarray, int]:
-    """Decode one group stream.  Returns ``(symbols (S, Ng) uint8,
-    words_consumed)``.  A valid stream ends with every lane back at
-    ``WORD_L`` and ``words_consumed == len(meaningful stream)`` — the
-    final-state invariant callers may verify."""
+    """Decode one segment stream (first ``count`` entries of ``stream``
+    meaningful).  Returns ``(symbols (s_seg, ng) uint8, final_cursor)``.
+    ``final_cursor == 0`` for a valid stream (the decoder consumed every
+    refill word walking back to the head)."""
     stream = np.asarray(stream, np.uint16)
     freqs = np.asarray(freqs).astype(np.uint32)
     cums = np.asarray(cums).astype(np.uint32)
     lut = np.asarray(cum_to_sym, np.uint8)
 
-    x = (stream[:ng].astype(np.uint32) << 16) | stream[ng : 2 * ng]
-    pos = 2 * ng
-    out = np.empty((n_steps, ng), np.uint8)
-    for j in range(n_steps):
+    n_emit = count - 2 * ng
+    x = (stream[n_emit : n_emit + ng].astype(np.uint32) << 16) | stream[
+        n_emit + ng : n_emit + 2 * ng
+    ]
+    pos = n_emit
+    out = np.empty((s_seg, ng), np.uint8)
+    for j in range(s_seg):
         slot = x & (PROB_SCALE - 1)
         sym = lut[slot]
         out[j] = sym
@@ -116,42 +139,48 @@ def decode_group_words(
         x = f * (x >> PROB_BITS) + slot - c
         need = x < WORD_L
         k = int(need.sum())
-        refill = stream[pos : pos + k].astype(np.uint32)
+        # corrupt streams can underflow the cursor: missing words read as 0
+        # and the final cursor goes negative, failing the invariant check
+        refill = stream[max(pos - k, 0) : max(pos, 0)].astype(np.uint32)
+        if refill.shape[0] < k:
+            refill = np.concatenate(
+                [np.zeros(k - refill.shape[0], np.uint32), refill]
+            )
         x[need] = (x[need] << 16) | refill
-        pos += k
+        pos -= k
     return out, pos
 
 
-def _group_rows(symbols: np.ndarray, n_lanes: int, group_size: int) -> np.ndarray:
-    """(S·N,) symbols → (G, S, Ng) per-group symbol rows."""
-    n = symbols.shape[0]
-    s_steps = n // n_lanes
-    rows = symbols.reshape(s_steps, n_lanes // group_size, group_size)
-    return rows.transpose(1, 0, 2)
+def _pad_to_segments(symbols: np.ndarray, s_seg: int, ng: int) -> np.ndarray:
+    """(n,) symbols → (n_segments, s_seg, ng), zero-padded at the tail."""
+    symbols = np.asarray(symbols, np.uint8)
+    seg = s_seg * ng
+    n_segments = -(-symbols.shape[0] // seg) if symbols.shape[0] else 0
+    pad = n_segments * seg - symbols.shape[0]
+    if pad:
+        symbols = np.concatenate([symbols, np.zeros(pad, np.uint8)])
+    return symbols.reshape(n_segments, s_seg, ng)
 
 
 def encode_channel_words(
-    symbols: np.ndarray, freqs, cums, *, n_lanes: int, group_size: int
+    symbols: np.ndarray, freqs, cums, *, s_seg: int, ng: int
 ) -> tuple[bytes, np.ndarray]:
-    """Encode a channel's symbols (length divisible by ``n_lanes``) into the
-    ALC3 payload: per-group streams, each padded with zero u16s to a
-    multiple of ``group_size``, concatenated in group order.
+    """Encode a channel's symbols into the compact ALC3 payload: per-segment
+    streams concatenated in segment order (no padding between segments).
 
-    Returns ``(payload_bytes, word_counts)`` where ``word_counts[g]`` is the
-    number of meaningful u16s in group g's stream (states included,
-    padding excluded).
+    The symbol stream is zero-padded up to a whole number of segments
+    (decoders slice back to the real symbol count; zero symbols always
+    exist in a sanitized table).
+
+    Returns ``(payload_bytes, word_counts)`` where ``word_counts[s]`` is
+    segment s's stream length in u16 words.
     """
-    if n_lanes % group_size:
-        raise ValueError(f"n_lanes {n_lanes} not a multiple of group {group_size}")
-    groups = _group_rows(np.asarray(symbols, np.uint8), n_lanes, group_size)
-    counts = np.empty(groups.shape[0], np.uint32)
+    segs = _pad_to_segments(symbols, s_seg, ng)
+    counts = np.empty(segs.shape[0], np.uint32)
     parts = []
-    for g in range(groups.shape[0]):
-        stream = encode_group_words(groups[g], freqs, cums)
-        counts[g] = stream.shape[0]
-        pad = (-stream.shape[0]) % group_size
-        if pad:
-            stream = np.concatenate([stream, np.zeros(pad, np.uint16)])
+    for s in range(segs.shape[0]):
+        stream = encode_segment_words(segs[s], freqs, cums)
+        counts[s] = stream.shape[0]
         parts.append(stream)
     payload = np.concatenate(parts) if parts else np.empty(0, np.uint16)
     return payload.astype("<u2").tobytes(), counts
@@ -162,31 +191,31 @@ def decode_channel_words(
     word_counts: np.ndarray,
     n_symbols: int,
     *,
-    n_lanes: int,
-    group_size: int,
+    s_seg: int,
+    ng: int,
     freqs,
     cums,
     cum_to_sym,
     validate: bool = False,
 ) -> np.ndarray:
     """Inverse of :func:`encode_channel_words`; returns (n_symbols,) uint8."""
-    data = np.frombuffer(bytes(payload), "<u2") if isinstance(
-        payload, (bytes, bytearray)
-    ) else np.asarray(payload, np.uint16)
-    n_groups = n_lanes // group_size
-    s_steps = n_symbols // n_lanes
-    out = np.empty((s_steps, n_groups, group_size), np.uint8)
+    data = (
+        np.frombuffer(bytes(payload), "<u2")
+        if isinstance(payload, (bytes, bytearray))
+        else np.asarray(payload, np.uint16)
+    )
+    n_segments = len(word_counts)
+    out = np.empty((n_segments, s_seg, ng), np.uint8)
     off = 0
-    for g in range(n_groups):
-        count = int(word_counts[g])
-        padded = count + (-count) % group_size
-        syms, consumed = decode_group_words(
-            data[off : off + count], s_steps, group_size, freqs, cums, cum_to_sym
+    for s in range(n_segments):
+        count = int(word_counts[s])
+        syms, cursor = decode_segment_words(
+            data[off : off + count], count, s_seg, ng, freqs, cums, cum_to_sym
         )
-        if validate and consumed != count:
+        if validate and cursor != 0:
             raise ValueError(
-                f"group {g}: consumed {consumed} of {count} words — corrupt stream"
+                f"segment {s}: {cursor} refill words unconsumed — corrupt stream"
             )
-        out[:, g, :] = syms
-        off += padded
-    return out.reshape(-1)
+        out[s] = syms
+        off += count
+    return out.reshape(-1)[:n_symbols]
