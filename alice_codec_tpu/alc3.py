@@ -1,0 +1,325 @@
+"""ALC3: the fully-fused TPU-native chunk codec.
+
+This is the flagship performance path.  Where `.alc` (pipeline.py) is the
+reference-compatible format and ALC2 (parallel/batch.py) generalizes its
+byte-lane streams, ALC3 re-architects the wire itself for the TPU
+(ops/rans_word.py): word-rANS segments in emission order, encoded and
+decoded by the Pallas kernels in ops/pallas/rans3_kernels.py.
+
+The entire codec is TWO jitted device programs per chunk shape:
+
+* encode: uint8 RGB → color → pad → 3D wavelet → quantize → zigzag →
+  histogram → **on-device frequency tables** → Pallas segment encode.
+  Output (streams, counts, histograms) stays in HBM; nothing touches the
+  host.
+* decode: (streams, counts, histograms) → on-device tables → Pallas
+  segment decode → dequantize → inverse wavelet → color → uint8 RGB.
+
+A roundtrip therefore never leaves the device — the HBM-resident
+``DeviceChunk`` is the TPU analog of the reference's in-RAM
+``EncodedChunk`` (src/pipeline.rs:172).  Container serialization
+(:meth:`Alc3Codec.to_bytes` / :meth:`from_bytes`) compacts the padded
+segment streams into host bytes for storage/interchange, and is bit-stable
+against the NumPy spec (tests/test_alc3.py): a pure-host decoder
+(ops/rans_word.decode_channel_words) reads the same container.
+
+Container layout (little-endian)::
+
+    "ALC3" | version=1 | wavelet u8 | w u32 | h u32 | f u32
+    n_chunks u32 | s_seg u32
+    per chunk × n_chunks, per channel × 3:
+        ChannelHeader (1040 B, identical to .alc; compressed_len in bytes)
+        n_segments × u32 per-segment word counts
+    payload: per chunk/channel/segment, the meaningful u16 words (LE)
+
+Every chunk remains independently decodable (self-contained headers and
+histograms), preserving the checkpoint/resume property of `.alc`.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import WaveletType, padded_dims, quality_to_step
+from .errors import InvalidBitstream, InvalidBufferSize
+from .ops.pallas.rans3_kernels import (
+    NG,
+    decode_words_pallas,
+    encode_words_pallas,
+    stream_rows,
+)
+from .ops.tables_device import freq_table_device
+from .pipeline import ChannelHeader, decode_device, encode_device
+
+__all__ = ["DEFAULT_S_SEG", "DeviceChunk", "Alc3Codec"]
+
+#: Default segment length (symbol rows per segment).  262144 symbols per
+#: segment: large enough that the 2·128-word state flush costs <1% of the
+#: compressed size, small enough that a segment's worst-case stream block
+#: (s_seg+3 rows ≈ 1 MB) pipelines comfortably in VMEM.
+DEFAULT_S_SEG = 2048
+
+_MAGIC3 = b"ALC3"
+_VERSION3 = 1
+
+
+def _segment_geometry(padded_pixels: int, s_seg: int) -> tuple[int, int]:
+    """(n_segments per channel, padded symbol count per channel)."""
+    seg = s_seg * NG
+    n_seg = -(-padded_pixels // seg)
+    return n_seg, n_seg * seg
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "s_seg"))
+def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg):
+    """Full fused encode: RGB (T,H,W,3) uint8 → (streams, counts, hists)."""
+    symbols, hists = encode_device(
+        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded
+    )
+    freqs, cums = jax.vmap(freq_table_device)(hists)
+    p = padded[0] * padded[1] * padded[2]
+    n_seg, m = _segment_geometry(p, s_seg)
+    sym = symbols.astype(jnp.int32)
+    if m != p:
+        sym = jnp.pad(sym, ((0, 0), (0, m - p)))
+    sym = sym.reshape(3 * n_seg, s_seg, NG)
+    streams, counts = encode_words_pallas(sym, freqs, cums)
+    return streams, counts, hists
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "s_seg", "exact"))
+def _decode_chunk(streams, counts, hists, steps, *, wavelet_type, dims,
+                  padded, s_seg, exact=False):
+    """Full fused decode: (streams, counts, hists, per-channel steps) →
+    RGB (T,H,W,3) uint8."""
+    freqs, cums = jax.vmap(freq_table_device)(hists)
+    sym = decode_words_pallas(streams, counts, freqs, cums, s_seg=s_seg)
+    p = padded[0] * padded[1] * padded[2]
+    sym = sym.reshape(3, -1)[:, :p].astype(jnp.uint8)
+    return decode_device(
+        sym, steps, steps, wavelet_type=wavelet_type, dims=dims,
+        padded=padded, exact=exact,
+    )
+
+
+@dataclass
+class DeviceChunk:
+    """An HBM-resident compressed chunk (the ALC3 device representation).
+
+    ``streams``: (3·n_seg, stream_rows(s_seg), 128) int32 — padded segment
+    word streams; ``counts``: (3·n_seg,) int32 meaningful words per
+    segment; ``hists``: (3, 256) uint32.  All jax.Arrays; nothing is
+    fetched until :meth:`compressed_size` / serialization asks for counts.
+    """
+
+    width: int
+    height: int
+    frames: int
+    wavelet_type: WaveletType
+    quant_step: int
+    s_seg: int
+    streams: jax.Array
+    counts: jax.Array
+    hists: jax.Array
+
+    @property
+    def n_segments(self) -> int:
+        return self.streams.shape[0] // 3
+
+    @property
+    def compressed_size(self) -> int:
+        """Wire payload size in bytes (fetches only the tiny counts vector)."""
+        return int(np.asarray(self.counts).astype(np.int64).sum()) * 2
+
+
+class Alc3Codec:
+    """TPU-native chunk codec over the ALC3 wire format.
+
+    >>> import numpy as np
+    >>> rgb = np.zeros((2, 8, 8, 3), np.uint8)
+    >>> codec = Alc3Codec(quality=90, s_seg=8)
+    >>> chunk = codec.encode(rgb)
+    >>> out = codec.decode(chunk)
+    >>> bool((np.asarray(out) == rgb).all())
+    True
+    """
+
+    def __init__(
+        self,
+        quality: int = 90,
+        wavelet: str | WaveletType = "cdf53",
+        *,
+        s_seg: int = DEFAULT_S_SEG,
+    ):
+        if s_seg % 8:
+            raise ValueError(f"s_seg must be a multiple of 8, got {s_seg}")
+        self.quality = int(quality)
+        self.wavelet_type = (
+            wavelet if isinstance(wavelet, WaveletType)
+            else WaveletType.from_name(wavelet)
+        )
+        self.s_seg = int(s_seg)
+        self.step = quality_to_step(self.quality)
+
+    # ── device path (HBM-resident, zero host traffic) ───────────
+
+    def encode(self, rgb) -> DeviceChunk:
+        """Encode one (T, H, W, 3) uint8 chunk; accepts NumPy (uploaded
+        once) or an already device-resident jax.Array."""
+        if not isinstance(rgb, jax.Array):
+            rgb = np.asarray(rgb, np.uint8)
+        if rgb.ndim != 4 or rgb.shape[-1] != 3:
+            raise InvalidBufferSize(4, rgb.ndim)
+        t, h, w, _ = rgb.shape
+        padded = padded_dims(w, h, t)
+        streams, counts, hists = _encode_chunk(
+            jnp.asarray(rgb),
+            jnp.int32(self.step),
+            jnp.int32(self.step),
+            wavelet_type=self.wavelet_type,
+            padded=padded,
+            s_seg=self.s_seg,
+        )
+        return DeviceChunk(
+            w, h, t, self.wavelet_type, self.step, self.s_seg,
+            streams, counts, hists,
+        )
+
+    def decode(self, chunk: DeviceChunk, *, exact: bool = False,
+               as_numpy: bool = False):
+        """Decode back to (T, H, W, 3) uint8 — a jax.Array unless
+        ``as_numpy``."""
+        w, h, t = chunk.width, chunk.height, chunk.frames
+        padded = padded_dims(w, h, t)
+        steps = jnp.full((3,), chunk.quant_step, jnp.int32)
+        rgb = _decode_chunk(
+            chunk.streams, chunk.counts, chunk.hists, steps,
+            wavelet_type=chunk.wavelet_type, dims=(w, h, t), padded=padded,
+            s_seg=chunk.s_seg, exact=exact,
+        )
+        return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
+
+    # ── container serialization (host interchange) ──────────────
+
+    @staticmethod
+    def to_bytes(chunks: DeviceChunk | list[DeviceChunk]) -> bytes:
+        """Serialize chunk(s) to the ALC3 container (one device fetch of
+        the padded streams; compaction happens host-side off the hot path).
+        """
+        if isinstance(chunks, DeviceChunk):
+            chunks = [chunks]
+        if not chunks:
+            raise InvalidBitstream("cannot serialize an empty chunk list")
+        c0 = chunks[0]
+        buf = bytearray()
+        buf += _MAGIC3
+        buf.append(_VERSION3)
+        buf.append(int(c0.wavelet_type))
+        buf += struct.pack(
+            "<IIIII", c0.width, c0.height, c0.frames, len(chunks), c0.s_seg
+        )
+        p = np.prod(padded_dims(c0.width, c0.height, c0.frames))
+        payload = bytearray()
+        for ck in chunks:
+            counts = np.asarray(ck.counts).astype(np.int64)
+            streams = np.asarray(ck.streams)  # (3*nseg, w_rows, 128) int32
+            n_seg = ck.n_segments
+            hists = np.asarray(ck.hists).astype(np.uint32)
+            for ch in range(3):
+                ch_counts = counts[ch * n_seg : (ch + 1) * n_seg]
+                buf += ChannelHeader(
+                    compressed_len=int(ch_counts.sum()) * 2,
+                    quant_step=ck.quant_step,
+                    quant_dead_zone=ck.quant_step,
+                    num_symbols=int(p),
+                    histogram=hists[ch],
+                ).to_bytes()
+                buf += ch_counts.astype("<u4").tobytes()
+                for s in range(n_seg):
+                    words = streams[ch * n_seg + s].reshape(-1)[: ch_counts[s]]
+                    payload += words.astype("<u2").tobytes()
+        return bytes(buf) + bytes(payload)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> tuple["Alc3Codec", list[DeviceChunk]]:
+        """Parse an ALC3 container and re-stage chunks on device.
+
+        Returns ``(codec, chunks)`` — the codec carries the container's
+        quality/wavelet settings (quality is recovered from the stored
+        quant step).
+        """
+        data = bytes(data)
+        if len(data) < 26:
+            raise InvalidBitstream(f"ALC3 data too short: {len(data)} bytes")
+        if data[:4] != _MAGIC3:
+            raise InvalidBitstream("bad magic (expected ALC3)")
+        if data[4] != _VERSION3:
+            raise InvalidBitstream(f"unsupported ALC3 version: {data[4]}")
+        wavelet_type = WaveletType.from_u8(data[5])
+        w, h, f, n_chunks, s_seg = struct.unpack_from("<IIIII", data, 6)
+        if s_seg % 8 or not s_seg:
+            raise InvalidBitstream(f"invalid segment length: {s_seg}")
+        padded = padded_dims(w, h, f)
+        p = int(np.prod(padded))
+        n_seg, _ = _segment_geometry(p, s_seg)
+        w_rows = stream_rows(s_seg)
+
+        off = 26
+        metas = []  # (step, hists (3,256), counts (3, nseg)) per chunk
+        for _ in range(n_chunks):
+            hists = np.zeros((3, 256), np.uint32)
+            counts = np.zeros((3, n_seg), np.int64)
+            step = 1
+            for ch in range(3):
+                if off + 1040 + 4 * n_seg > len(data):
+                    raise InvalidBitstream("truncated ALC3 header section")
+                hdr = ChannelHeader.from_bytes(data[off : off + 1040])
+                off += 1040
+                counts[ch] = np.frombuffer(data, "<u4", n_seg, off)
+                off += 4 * n_seg
+                if hdr.num_symbols != p:
+                    raise InvalidBitstream(
+                        f"num_symbols {hdr.num_symbols} != padded pixels {p}"
+                    )
+                if int(counts[ch].sum()) * 2 != hdr.compressed_len:
+                    raise InvalidBitstream("segment counts disagree with header")
+                hists[ch] = hdr.histogram
+                step = hdr.quant_step
+            metas.append((step, hists, counts))
+
+        chunks = []
+        cap = segment_cap = w_rows * 128
+        for step, hists, counts in metas:
+            flat_counts = counts.reshape(-1)
+            streams = np.zeros((3 * n_seg, segment_cap), np.int32)
+            for i, cnt in enumerate(flat_counts):
+                end = off + 2 * int(cnt)
+                if end > len(data):
+                    raise InvalidBitstream("truncated ALC3 payload")
+                streams[i, : int(cnt)] = np.frombuffer(
+                    data, "<u2", int(cnt), off
+                )
+                off = end
+            if flat_counts.max(initial=0) > cap:
+                raise InvalidBitstream("segment word count exceeds capacity")
+            chunks.append(
+                DeviceChunk(
+                    w, h, f, wavelet_type, int(step), int(s_seg),
+                    jnp.asarray(streams.reshape(3 * n_seg, w_rows, 128)),
+                    jnp.asarray(flat_counts.astype(np.int32)),
+                    jnp.asarray(hists),
+                )
+            )
+        # recover quality from the step map step = max(64 - q*63/100, 1)
+        step0 = metas[0][0] if metas else 1
+        quality = next(
+            (q for q in range(100, -1, -1) if quality_to_step(q) == step0), 90
+        )
+        codec = cls(quality=quality, wavelet=wavelet_type, s_seg=int(s_seg))
+        return codec, chunks

@@ -1,0 +1,138 @@
+"""ALC3 fused device codec: roundtrip, container, and host-spec interop."""
+
+import numpy as np
+import pytest
+
+from alice_codec_tpu.alc3 import Alc3Codec, DeviceChunk
+from alice_codec_tpu.core import WaveletType, padded_dims, quality_to_step
+from alice_codec_tpu.errors import InvalidBitstream
+from alice_codec_tpu.ops.rans import FrequencyTable
+from alice_codec_tpu.ops.rans_word import decode_channel_words
+from alice_codec_tpu.pipeline import FrameDecoder, FrameEncoder
+
+
+def _video(t, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.arange(w, dtype=np.int32)[None, None, :, None]
+    y = np.arange(h, dtype=np.int32)[None, :, None, None]
+    tt = np.arange(t, dtype=np.int32)[:, None, None, None]
+    base = (x * 3 + y * 2 + tt * 7) % 256
+    noise = rng.integers(0, 16, size=(t, h, w, 3), dtype=np.int32)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return np.inf if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "cdf53", "cdf97"])
+def test_device_roundtrip(wavelet):
+    rgb = _video(4, 16, 24)
+    codec = Alc3Codec(quality=90, wavelet=wavelet, s_seg=8)
+    chunk = codec.encode(rgb)
+    out = codec.decode(chunk, as_numpy=True)
+    assert out.shape == rgb.shape
+    assert _psnr(out, rgb) > 27
+
+
+def test_lossless_quality_100_haar():
+    rgb = _video(2, 8, 8, seed=1)
+    codec = Alc3Codec(quality=100, wavelet="haar", s_seg=8)
+    out = codec.decode(codec.encode(rgb), exact=True, as_numpy=True)
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_matches_alc_reference_pipeline():
+    """ALC3 must reconstruct IDENTICALLY to the `.alc` path: same transform,
+    same quantizer, same histograms — only the entropy wire differs."""
+    t, h, w = 4, 12, 20
+    rgb = _video(t, h, w, seed=2)
+    codec = Alc3Codec(quality=80, s_seg=8)
+    chunk = codec.encode(rgb)
+    out3 = codec.decode(chunk, as_numpy=True)
+
+    ref_chunk = FrameEncoder(quality=80).encode(rgb.reshape(-1), w, h, t)
+    ref = FrameDecoder().decode(ref_chunk).reshape(t, h, w, 3)
+    np.testing.assert_array_equal(out3, ref)
+    # identical histograms too (same symbol stream)
+    for ch in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(chunk.hists)[ch], ref_chunk.channel_headers[ch].histogram
+        )
+
+
+def test_container_roundtrip_and_host_spec_decode():
+    t, h, w = 4, 16, 16
+    rgb = _video(t, h, w, seed=3)
+    codec = Alc3Codec(quality=90, s_seg=8)
+    chunk = codec.encode(rgb)
+    data = Alc3Codec.to_bytes(chunk)
+
+    codec2, chunks2 = Alc3Codec.from_bytes(data)
+    assert codec2.quality == 90 and codec2.s_seg == 8
+    assert len(chunks2) == 1
+    out = codec2.decode(chunks2[0], as_numpy=True)
+    np.testing.assert_array_equal(out, codec.decode(chunk, as_numpy=True))
+
+    # pure-host decode of the container payload via the NumPy spec
+    p = int(np.prod(padded_dims(w, h, t)))
+    n_seg = chunk.n_segments
+    counts = np.asarray(chunk.counts).astype(np.int64)
+    hdr_bytes = 26 + 3 * (1040 + 4 * n_seg)
+    payload = np.frombuffer(data[hdr_bytes:], "<u2")
+    off = 0
+    for ch in range(3):
+        table = FrequencyTable.from_histogram(
+            np.asarray(chunk.hists)[ch], sanitize=True
+        )
+        ch_counts = counts[ch * n_seg : (ch + 1) * n_seg]
+        n_words = int(ch_counts.sum())
+        syms = decode_channel_words(
+            payload[off : off + n_words], ch_counts, p, s_seg=8, ng=128,
+            freqs=table.freqs, cums=table.cums, cum_to_sym=table.cum_to_sym,
+            validate=True,
+        )
+        off += n_words
+        assert syms.shape == (p,)
+
+
+def test_multi_chunk_container():
+    rgb1, rgb2 = _video(2, 8, 8, seed=4), _video(2, 8, 8, seed=5)
+    codec = Alc3Codec(quality=70, s_seg=8)
+    c1, c2 = codec.encode(rgb1), codec.encode(rgb2)
+    data = Alc3Codec.to_bytes([c1, c2])
+    _, chunks = Alc3Codec.from_bytes(data)
+    assert len(chunks) == 2
+    np.testing.assert_array_equal(
+        codec.decode(chunks[0], as_numpy=True), codec.decode(c1, as_numpy=True)
+    )
+    np.testing.assert_array_equal(
+        codec.decode(chunks[1], as_numpy=True), codec.decode(c2, as_numpy=True)
+    )
+
+
+def test_odd_dims_and_single_frame():
+    rgb = _video(1, 7, 9, seed=6)
+    codec = Alc3Codec(quality=85, s_seg=8)
+    out = codec.decode(codec.encode(rgb), as_numpy=True)
+    assert out.shape == rgb.shape
+    assert _psnr(out, rgb) > 26
+
+
+def test_corrupt_container_rejected():
+    rgb = _video(2, 8, 8, seed=7)
+    codec = Alc3Codec(quality=90, s_seg=8)
+    data = bytearray(Alc3Codec.to_bytes(codec.encode(rgb)))
+    with pytest.raises(InvalidBitstream):
+        Alc3Codec.from_bytes(b"XXXX" + bytes(data[4:]))
+    with pytest.raises(InvalidBitstream):
+        Alc3Codec.from_bytes(bytes(data[: len(data) // 2]))
+
+
+def test_quality_recovered_from_step():
+    for q in (0, 37, 90, 100):
+        rgb = _video(2, 8, 8, seed=8)
+        data = Alc3Codec.to_bytes(Alc3Codec(quality=q, s_seg=8).encode(rgb))
+        codec2, _ = Alc3Codec.from_bytes(data)
+        assert quality_to_step(codec2.quality) == quality_to_step(q)

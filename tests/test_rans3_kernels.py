@@ -1,0 +1,134 @@
+"""ALC3 Pallas kernels vs the NumPy spec (interpret mode on CPU).
+
+The kernels must match ops/rans_word.py word-for-word: same emission-order
+stream layout, same counts, and bit-identical decode.  Real-TPU runs are
+exercised by the bench and by tests/test_device_codec.py paths.
+"""
+
+import numpy as np
+import pytest
+
+from alice_codec_tpu.ops.rans import FrequencyTable
+from alice_codec_tpu.ops.rans_word import (
+    encode_segment_words,
+    segment_capacity_words,
+)
+from alice_codec_tpu.ops.pallas.rans3_kernels import (
+    NG,
+    decode_words_pallas,
+    encode_words_pallas,
+    stream_rows,
+)
+
+
+def _table(symbols: np.ndarray) -> FrequencyTable:
+    hist = np.bincount(symbols.reshape(-1), minlength=256).astype(np.uint32)
+    return FrequencyTable.from_histogram(hist, sanitize=True)
+
+
+def _content(kind: str, n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        return rng.integers(0, 256, size=n, dtype=np.uint8)
+    if kind == "skewed":
+        vals = rng.integers(0, 16, size=n)
+        return np.where(rng.random(n) < 0.7, 0, vals).astype(np.uint8)
+    if kind == "constant":
+        return np.zeros(n, np.uint8)
+    raise AssertionError(kind)
+
+
+def _spec_streams(segs: np.ndarray, table: FrequencyTable):
+    """Segments (S, s_seg, NG) → padded stream array + counts via the spec."""
+    s_seg = segs.shape[1]
+    w_rows = stream_rows(s_seg)
+    streams = np.zeros((segs.shape[0], w_rows * 128), np.int32)
+    counts = np.zeros(segs.shape[0], np.int32)
+    for i in range(segs.shape[0]):
+        words = encode_segment_words(segs[i], table.freqs, table.cums)
+        counts[i] = words.shape[0]
+        streams[i, : words.shape[0]] = words
+    return streams.reshape(-1, w_rows, 128), counts
+
+
+@pytest.mark.parametrize("kind", ["noise", "skewed", "constant"])
+def test_encode_kernel_matches_spec(kind):
+    s_seg, n_seg = 16, 3
+    syms = _content(kind, n_seg * s_seg * NG).reshape(n_seg, s_seg, NG)
+    t = _table(syms)
+    freqs = t.freqs.astype(np.int32)[None]
+    cums = t.cums.astype(np.int32)[None]
+
+    streams, counts = encode_words_pallas(syms.astype(np.int32), freqs, cums)
+    streams, counts = np.asarray(streams), np.asarray(counts)
+    ref_streams, ref_counts = _spec_streams(syms, t)
+
+    np.testing.assert_array_equal(counts, ref_counts)
+    np.testing.assert_array_equal(streams, ref_streams)
+    assert counts.max() <= segment_capacity_words(s_seg, NG)
+
+
+@pytest.mark.parametrize("kind", ["noise", "skewed", "constant"])
+def test_decode_kernel_matches_spec(kind):
+    s_seg, n_seg = 16, 3
+    syms = _content(kind, n_seg * s_seg * NG, seed=1).reshape(n_seg, s_seg, NG)
+    t = _table(syms)
+    streams, counts = _spec_streams(syms, t)
+
+    out = decode_words_pallas(
+        streams, counts,
+        t.freqs.astype(np.int32)[None], t.cums.astype(np.int32)[None],
+        s_seg=s_seg,
+    )
+    np.testing.assert_array_equal(np.asarray(out), syms.astype(np.int32))
+
+
+def test_kernel_roundtrip_multi_table():
+    """Streams grouped by table (3 'channels' with different statistics)."""
+    s_seg, n_seg = 8, 2
+    rng = np.random.default_rng(2)
+    chans = [
+        _content("skewed", n_seg * s_seg * NG, seed=3),
+        _content("noise", n_seg * s_seg * NG, seed=4),
+        (rng.integers(0, 4, size=n_seg * s_seg * NG)).astype(np.uint8),
+    ]
+    tables = [_table(c) for c in chans]
+    syms = np.stack([c.reshape(n_seg, s_seg, NG) for c in chans]).reshape(
+        3 * n_seg, s_seg, NG
+    )
+    freqs = np.stack([t.freqs for t in tables]).astype(np.int32)
+    cums = np.stack([t.cums for t in tables]).astype(np.int32)
+
+    streams, counts = encode_words_pallas(syms.astype(np.int32), freqs, cums)
+    out = decode_words_pallas(streams, counts, freqs, cums, s_seg=s_seg)
+    np.testing.assert_array_equal(np.asarray(out), syms.astype(np.int32))
+
+    # per-table parity with the spec
+    for ch in range(3):
+        ref_streams, ref_counts = _spec_streams(
+            chans[ch].reshape(n_seg, s_seg, NG), tables[ch]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(counts)[ch * n_seg : (ch + 1) * n_seg], ref_counts
+        )
+        np.testing.assert_array_equal(
+            np.asarray(streams)[ch * n_seg : (ch + 1) * n_seg], ref_streams
+        )
+
+
+def test_worst_case_capacity_noise():
+    """Uniform noise maximizes emission; streams must stay in-bounds."""
+    s_seg = 8
+    syms = _content("noise", s_seg * NG, seed=9).reshape(1, s_seg, NG)
+    t = _table(syms)
+    streams, counts = encode_words_pallas(
+        syms.astype(np.int32),
+        t.freqs.astype(np.int32)[None], t.cums.astype(np.int32)[None],
+    )
+    assert int(np.asarray(counts)[0]) <= segment_capacity_words(s_seg, NG)
+    out = decode_words_pallas(
+        np.asarray(streams), np.asarray(counts),
+        t.freqs.astype(np.int32)[None], t.cums.astype(np.int32)[None],
+        s_seg=s_seg,
+    )
+    np.testing.assert_array_equal(np.asarray(out)[0], syms[0].astype(np.int32))
