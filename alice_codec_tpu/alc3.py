@@ -49,6 +49,7 @@ import numpy as np
 from .core import WaveletType, padded_dims, quality_to_step
 from .errors import InvalidBitstream, InvalidBufferSize
 from .ops.pallas.rans3_kernels import (
+    DEFAULT_V_SEG,
     NG,
     decode_words_pallas,
     encode_words_pallas,
@@ -69,37 +70,57 @@ _MAGIC3 = b"ALC3"
 _VERSION3 = 1
 
 
-def _segment_geometry(padded_pixels: int, s_seg: int) -> tuple[int, int]:
-    """(n_segments per channel, padded symbol count per channel)."""
+def _segment_geometry(
+    padded_pixels: int, s_seg: int, v_seg: int = DEFAULT_V_SEG
+) -> tuple[int, int]:
+    """(n_segments per channel, padded symbol count per channel).
+
+    n_segments is rounded up to a multiple of ``v_seg`` so the kernels'
+    V-batched grid divides evenly; the extra all-zero segments cost a few
+    hundred wire bytes each.
+    """
     seg = s_seg * NG
     n_seg = -(-padded_pixels // seg)
+    n_seg += (-n_seg) % v_seg
     return n_seg, n_seg * seg
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded", "s_seg"))
-def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg):
+def _pick_v_seg(n_seg: int) -> int:
+    """Largest batching factor ≤ DEFAULT_V_SEG dividing the segment count
+    (containers may carry any n_seg; execution adapts)."""
+    v = DEFAULT_V_SEG
+    while n_seg % v:
+        v //= 2
+    return v
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "s_seg", "v_seg"))
+def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg, v_seg):
     """Full fused encode: RGB (T,H,W,3) uint8 → (streams, counts, hists)."""
     symbols, hists = encode_device(
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded
     )
     freqs, cums = jax.vmap(freq_table_device)(hists)
     p = padded[0] * padded[1] * padded[2]
-    n_seg, m = _segment_geometry(p, s_seg)
+    n_seg, m = _segment_geometry(p, s_seg, v_seg)
     sym = symbols.astype(jnp.int32)
     if m != p:
         sym = jnp.pad(sym, ((0, 0), (0, m - p)))
     sym = sym.reshape(3 * n_seg, s_seg, NG)
-    streams, counts = encode_words_pallas(sym, freqs, cums)
+    streams, counts = encode_words_pallas(sym, freqs, cums, v_seg=v_seg)
     return streams, counts, hists
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "s_seg", "exact"))
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact"))
 def _decode_chunk(streams, counts, hists, steps, *, wavelet_type, dims,
-                  padded, s_seg, exact=False):
+                  padded, s_seg, v_seg, exact=False):
     """Full fused decode: (streams, counts, hists, per-channel steps) →
     RGB (T,H,W,3) uint8."""
     freqs, cums = jax.vmap(freq_table_device)(hists)
-    sym = decode_words_pallas(streams, counts, freqs, cums, s_seg=s_seg)
+    sym = decode_words_pallas(
+        streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
+    )
     p = padded[0] * padded[1] * padded[2]
     sym = sym.reshape(3, -1)[:, :p].astype(jnp.uint8)
     return decode_device(
@@ -178,6 +199,8 @@ class Alc3Codec:
             raise InvalidBufferSize(4, rgb.ndim)
         t, h, w, _ = rgb.shape
         padded = padded_dims(w, h, t)
+        p = int(np.prod(padded))
+        n_seg, _ = _segment_geometry(p, self.s_seg)
         streams, counts, hists = _encode_chunk(
             jnp.asarray(rgb),
             jnp.int32(self.step),
@@ -185,6 +208,7 @@ class Alc3Codec:
             wavelet_type=self.wavelet_type,
             padded=padded,
             s_seg=self.s_seg,
+            v_seg=_pick_v_seg(n_seg),
         )
         return DeviceChunk(
             w, h, t, self.wavelet_type, self.step, self.s_seg,
@@ -201,7 +225,8 @@ class Alc3Codec:
         rgb = _decode_chunk(
             chunk.streams, chunk.counts, chunk.hists, steps,
             wavelet_type=chunk.wavelet_type, dims=(w, h, t), padded=padded,
-            s_seg=chunk.s_seg, exact=exact,
+            s_seg=chunk.s_seg, v_seg=_pick_v_seg(chunk.n_segments),
+            exact=exact,
         )
         return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
 
@@ -222,7 +247,8 @@ class Alc3Codec:
         buf.append(_VERSION3)
         buf.append(int(c0.wavelet_type))
         buf += struct.pack(
-            "<IIIII", c0.width, c0.height, c0.frames, len(chunks), c0.s_seg
+            "<IIIIII", c0.width, c0.height, c0.frames, len(chunks),
+            c0.s_seg, c0.n_segments,
         )
         p = np.prod(padded_dims(c0.width, c0.height, c0.frames))
         payload = bytearray()
@@ -255,22 +281,25 @@ class Alc3Codec:
         quant step).
         """
         data = bytes(data)
-        if len(data) < 26:
+        if len(data) < 30:
             raise InvalidBitstream(f"ALC3 data too short: {len(data)} bytes")
         if data[:4] != _MAGIC3:
             raise InvalidBitstream("bad magic (expected ALC3)")
         if data[4] != _VERSION3:
             raise InvalidBitstream(f"unsupported ALC3 version: {data[4]}")
         wavelet_type = WaveletType.from_u8(data[5])
-        w, h, f, n_chunks, s_seg = struct.unpack_from("<IIIII", data, 6)
+        w, h, f, n_chunks, s_seg, n_seg = struct.unpack_from("<IIIIII", data, 6)
         if s_seg % 8 or not s_seg:
             raise InvalidBitstream(f"invalid segment length: {s_seg}")
         padded = padded_dims(w, h, f)
         p = int(np.prod(padded))
-        n_seg, _ = _segment_geometry(p, s_seg)
+        if n_seg * s_seg * NG < p:
+            raise InvalidBitstream(
+                f"{n_seg} segments of {s_seg}x{NG} cannot cover {p} symbols"
+            )
         w_rows = stream_rows(s_seg)
 
-        off = 26
+        off = 30
         metas = []  # (step, hists (3,256), counts (3, nseg)) per chunk
         for _ in range(n_chunks):
             hists = np.zeros((3, 256), np.uint32)

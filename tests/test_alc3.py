@@ -79,7 +79,7 @@ def test_container_roundtrip_and_host_spec_decode():
     p = int(np.prod(padded_dims(w, h, t)))
     n_seg = chunk.n_segments
     counts = np.asarray(chunk.counts).astype(np.int64)
-    hdr_bytes = 26 + 3 * (1040 + 4 * n_seg)
+    hdr_bytes = 30 + 3 * (1040 + 4 * n_seg)
     payload = np.frombuffer(data[hdr_bytes:], "<u2")
     off = 0
     for ch in range(3):

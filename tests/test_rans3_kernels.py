@@ -51,15 +51,18 @@ def _spec_streams(segs: np.ndarray, table: FrequencyTable):
     return streams.reshape(-1, w_rows, 128), counts
 
 
+@pytest.mark.parametrize("v_seg", [1, 2, 4])
 @pytest.mark.parametrize("kind", ["noise", "skewed", "constant"])
-def test_encode_kernel_matches_spec(kind):
-    s_seg, n_seg = 16, 3
+def test_encode_kernel_matches_spec(kind, v_seg):
+    s_seg, n_seg = 16, 4
     syms = _content(kind, n_seg * s_seg * NG).reshape(n_seg, s_seg, NG)
     t = _table(syms)
     freqs = t.freqs.astype(np.int32)[None]
     cums = t.cums.astype(np.int32)[None]
 
-    streams, counts = encode_words_pallas(syms.astype(np.int32), freqs, cums)
+    streams, counts = encode_words_pallas(
+        syms.astype(np.int32), freqs, cums, v_seg=v_seg
+    )
     streams, counts = np.asarray(streams), np.asarray(counts)
     ref_streams, ref_counts = _spec_streams(syms, t)
 
@@ -68,9 +71,10 @@ def test_encode_kernel_matches_spec(kind):
     assert counts.max() <= segment_capacity_words(s_seg, NG)
 
 
+@pytest.mark.parametrize("v_seg", [1, 2, 4])
 @pytest.mark.parametrize("kind", ["noise", "skewed", "constant"])
-def test_decode_kernel_matches_spec(kind):
-    s_seg, n_seg = 16, 3
+def test_decode_kernel_matches_spec(kind, v_seg):
+    s_seg, n_seg = 16, 4
     syms = _content(kind, n_seg * s_seg * NG, seed=1).reshape(n_seg, s_seg, NG)
     t = _table(syms)
     streams, counts = _spec_streams(syms, t)
@@ -78,7 +82,7 @@ def test_decode_kernel_matches_spec(kind):
     out = decode_words_pallas(
         streams, counts,
         t.freqs.astype(np.int32)[None], t.cums.astype(np.int32)[None],
-        s_seg=s_seg,
+        s_seg=s_seg, v_seg=v_seg,
     )
     np.testing.assert_array_equal(np.asarray(out), syms.astype(np.int32))
 
@@ -99,8 +103,10 @@ def test_kernel_roundtrip_multi_table():
     freqs = np.stack([t.freqs for t in tables]).astype(np.int32)
     cums = np.stack([t.cums for t in tables]).astype(np.int32)
 
-    streams, counts = encode_words_pallas(syms.astype(np.int32), freqs, cums)
-    out = decode_words_pallas(streams, counts, freqs, cums, s_seg=s_seg)
+    streams, counts = encode_words_pallas(
+        syms.astype(np.int32), freqs, cums, v_seg=2
+    )
+    out = decode_words_pallas(streams, counts, freqs, cums, s_seg=s_seg, v_seg=2)
     np.testing.assert_array_equal(np.asarray(out), syms.astype(np.int32))
 
     # per-table parity with the spec
@@ -124,11 +130,12 @@ def test_worst_case_capacity_noise():
     streams, counts = encode_words_pallas(
         syms.astype(np.int32),
         t.freqs.astype(np.int32)[None], t.cums.astype(np.int32)[None],
+        v_seg=1,
     )
     assert int(np.asarray(counts)[0]) <= segment_capacity_words(s_seg, NG)
     out = decode_words_pallas(
         np.asarray(streams), np.asarray(counts),
         t.freqs.astype(np.int32)[None], t.cums.astype(np.int32)[None],
-        s_seg=s_seg,
+        s_seg=s_seg, v_seg=1,
     )
     np.testing.assert_array_equal(np.asarray(out)[0], syms[0].astype(np.int32))
