@@ -6,8 +6,8 @@ rans_decode_kernel.py) on the hot path:
 * The byte-stream decoder tracks one cursor PER LANE, so every refill is a
   gather — realized as an O(n_words) masked row-sum per symbol step.  ALC3
   stores words in emission order, so a segment has ONE scalar cursor and
-  each step's refill is a 2-row window read resolved by a 128-wide one-hot
-  matmul: O(1) rows per step regardless of stream length.
+  each step's refill is a 2-row window read resolved by a one-hot matmul:
+  O(1) rows per step regardless of stream length.
 * The byte-stream encoder emitted per-step padded planes that needed three
   full-payload scatters to pack.  The ALC3 encoder appends words at the
   cursor inside the kernel (one-hot window scatter): the output buffer IS
@@ -18,19 +18,28 @@ rans_decode_kernel.py) on the hot path:
   compile time is O(1) in segment length (the round-1 kernels relied on
   full unroll and capped out).
 * **V-batching**: the rANS state chain is serial, so a step's cost is
-  dominated by op latency, not width.  Each grid slot therefore processes
-  ``v_seg`` segments at once — the table search / state update run on one
-  (v_seg·128)-wide vector chain (same latency as 128 lanes), only the
-  per-segment window reads/appends replicate.  Throughput scales nearly
-  linearly in ``v_seg`` until VMEM caps the blocks.  This is an execution
-  detail only: the wire format is identical for every ``v_seg``.
+  dominated by op issue, not data width.  Each grid slot processes
+  ``v_seg`` segments as independent dataflow chains whose op latencies the
+  scheduler interleaves.  Measured knee on v5e: v_seg=4 (v_seg=8 is flat —
+  the loop body is issue-bound past that).  Execution detail only: the
+  wire format is identical for every ``v_seg``.
+
+**Lane-major layout — the key performance rule.**  Every per-symbol vector
+lives in the 128-wide LANE dimension: states/slots/ranks are (1,128) rows,
+search tables are (16,128) blocks (table index in sublanes), refill/append
+one-hots are (256,128) (window position in sublanes).  The first version
+of these kernels used the opposite orientation — ``slot[:, None]``-style
+(128,1)/(128,16) intermediates — which costs 16 vregs per value at ≤12.5%
+lane utilization plus a lane→sublane relayout per op: measured 79-96
+Msym/s.  The lane-major rewrite of the SAME algorithm runs at ~830 Msym/s
+decode on one v5e core.
 
 Mosaic ground rules inherited from round 1 (see rans_kernel.py): no vector
-int indexing (one-hot matmuls instead), hi/lo byte-split before any MXU
-contraction whose VALUES exceed 256 (the MXU's default f32 matmul rounds
-inputs to bfloat16 — 0/1 one-hots are always exact, so only the table/word
-operand needs splitting), no f32→u32 casts (round-trip via int32), no
-int32→uint32 casts of negative values, 2D blocks only, sublane dims in
+int indexing (one-hot matmuls instead), MXU operands must be bf16-exact
+(one-hots are 0/1 — always exact; table/word values are hi/lo byte-split
+so both halves are ≤255), comparisons building one-hots stay in int32
+(cum values up to 4096 are NOT bf16-exact; positions ≤255 are), no
+f32→u32 casts (round-trip via int32), 2D blocks only, sublane dims in
 multiples of 8.
 
 Layout (all static shapes; NG = 128 lanes = one VPU lane row):
@@ -41,8 +50,9 @@ Layout (all static shapes; NG = 128 lanes = one VPU lane row):
   margin so aligned 2-row window reads never leave the block);
 * counts:  per-segment meaningful word counts — SMEM full-row input on
   decode; (8,128)-broadcast blocks per segment on encode output;
-* tables:  per stream-table (16, 16) hi/lo-split freq/cum blocks + a
-  16-row replicated cum-heads block for the two-level symbol search.
+* tables:  transposed (16,16) hi/lo-split blocks T[j,k] = v[16k+j], so a
+  lookup is dot(T, one_hot(hi_idx)) with the result's 16 candidates in
+  sublanes and the 128 symbols in lanes.
 """
 
 from __future__ import annotations
@@ -80,134 +90,153 @@ def stream_rows(s_seg: int) -> int:
     return -(-(s_seg + 3) // 8) * 8
 
 
-def _dot16_exact(oh, hi, lo):
-    """Exact 16-wide table lookup via two default-precision MXU dots (the
-    hi/lo byte split keeps the value operand bf16-exact)."""
+def _iotas():
+    """Shared kernel constants (all lane-major)."""
+    iota16_0 = jax.lax.broadcasted_iota(jnp.int32, (16, NG), 0)
+    iota256_0 = jax.lax.broadcasted_iota(jnp.int32, (256, NG), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NG), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 1)
+    # exclusive-prefix-sum matrix: rank = flags @ ltT (strict lower tri.)
+    ltT = (i < j).astype(jnp.bfloat16)
+    return iota16_0, iota256_0, lane_iota, ltT
+
+
+def _tdot16(t_hi_ref, t_lo_ref, oh):
+    """Exact transposed-table lookup: (16,16) hi/lo blocks × (16,128)
+    one-hot → (16,128) candidates (hi/lo split keeps both dots
+    bf16-exact at default MXU precision)."""
     return (
-        jnp.dot(oh, hi, preferred_element_type=jnp.float32) * 256.0
-        + jnp.dot(oh, lo, preferred_element_type=jnp.float32)
+        256.0 * jax.lax.dot_general(
+            t_hi_ref[:, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+            t_lo_ref[:, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     )
 
 
-def _split2(vals_hi, vals_lo):
-    """Stack hi/lo byte columns → (128, 2) f32 MXU operand."""
-    return jnp.concatenate(
-        [vals_hi[:, None].astype(jnp.float32), vals_lo[:, None].astype(jnp.float32)],
-        axis=1,
-    )
-
-
-def _win_read(stream_ref, row_base, base, pos, iota_jl):
+def _win_read(stream_ref, iota256_0, row_base, base, pos, mask):
     """Read per-lane words from a 2-row window of one segment's stream.
 
     ``row_base``: static first row of the segment inside the block;
     ``base``: scalar word offset of the window start within the segment;
-    ``pos``: (128,) int32 word offsets relative to ``base`` (0 ≤ pos < 129
-    where the lane participates; other lanes read garbage the caller
-    masks).  Returns (128,) int32 word values.
+    ``pos``: (1,128) int32 word offsets relative to ``base`` (0 ≤ pos+shift
+    < 256 where ``mask`` holds; other lanes return 0).  Returns (1,128)
+    f32 word values.
     """
     r0 = base >> 7
     sh = base - (r0 << 7)
-    p = pos + sh  # position within the 2-row window, 0..255
-    rows = stream_ref[pl.ds(row_base + r0, 2), :]  # (2,128) int32 words
-    out = jnp.zeros((128,), jnp.float32)
+    p = jnp.where(mask, pos + sh, -1)
+    oh = (p == iota256_0).astype(jnp.bfloat16)          # (256,128)
+    rows = stream_ref[pl.ds(row_base + r0, 2), :]        # (2,128) int32
+    out = jnp.zeros((1, NG), jnp.float32)
     for r in range(2):
-        oh = ((p[:, None] - 128 * r) == iota_jl).astype(jnp.float32)
-        v2 = _split2(rows[r, :] >> 8, rows[r, :] & 255)
-        d = jnp.dot(oh, v2, preferred_element_type=jnp.float32)
-        out = out + 256.0 * d[:, 0] + d[:, 1]
-    return out.astype(jnp.int32)
+        w2 = jnp.concatenate(
+            [(rows[r : r + 1, :] >> 8).astype(jnp.bfloat16),
+             (rows[r : r + 1, :] & 255).astype(jnp.bfloat16)], axis=0
+        )                                                # (2,128)
+        d = jax.lax.dot_general(
+            w2, oh[128 * r : 128 * (r + 1), :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (2,128)
+        out = out + 256.0 * d[0:1, :] + d[1:2, :]
+    return out
 
 
-def _win_append(stream_ref, row_base, base, pos, words, mask, iota_jl):
-    """Scatter per-lane words into a 2-row window (dual of :func:`_win_read`).
+def _win_append(stream_ref, iota256_0, row_base, base, pos, words, mask):
+    """Scatter per-lane words into a 2-row window (dual of
+    :func:`_win_read`): contraction over the lane axis turns the (256,128)
+    one-hot into per-position sums with the window offset back in lanes.
 
-    ``pos``: (128,) int32 offsets relative to ``base`` (unique among
-    ``mask`` lanes); ``words``: (128,) int32 < 2^16.
+    ``pos``: (1,128) int32 offsets relative to ``base`` (unique among
+    ``mask`` lanes); ``words``: (1,128) int32 < 2^16.
     """
     r0 = base >> 7
     sh = base - (r0 << 7)
-    p = jnp.where(mask, pos + sh, -1)  # park masked lanes outside 0..255
-    w2 = _split2(jnp.where(mask, words >> 8, 0), jnp.where(mask, words & 255, 0))
+    p = jnp.where(mask, pos + sh, -1)
+    oh = (p == iota256_0).astype(jnp.bfloat16)           # (256,128)
+    w2 = jnp.concatenate(
+        [jnp.where(mask, words >> 8, 0).astype(jnp.bfloat16),
+         jnp.where(mask, words & 255, 0).astype(jnp.bfloat16)], axis=0
+    )                                                    # (2,128)
+    c = jax.lax.dot_general(
+        w2, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (2,256)
     rows = stream_ref[pl.ds(row_base + r0, 2), :]
-    adds = []
-    for r in range(2):
-        oht = (iota_jl.T == (p[None, :] - 128 * r)).astype(jnp.float32)
-        d = jnp.dot(oht, w2, preferred_element_type=jnp.float32)
-        adds.append((256.0 * d[:, 0] + d[:, 1]).astype(jnp.int32))
-    stream_ref[pl.ds(row_base + r0, 2), :] = rows + jnp.concatenate(
-        [adds[0][None, :], adds[1][None, :]], axis=0
+    add = jnp.concatenate(
+        [(256.0 * c[0:1, 0:128] + c[1:2, 0:128]).astype(jnp.int32),
+         (256.0 * c[0:1, 128:256] + c[1:2, 128:256]).astype(jnp.int32)],
+        axis=0,
     )
-
-
-def _lt_mask():
-    """(128, 128) strictly-lower-triangular f32 mask: one MXU dot with this
-    computes a segment's exclusive refill ranks."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 1)
-    return (i > j).astype(jnp.float32)
+    stream_ref[pl.ds(row_base + r0, 2), :] = rows + add
 
 
 # ── decode ──────────────────────────────────────────────────────
 
 
 def _decode_kernel(v_seg, s_seg, w_rows,
-                   counts_ref, stream_ref, cumh_ref, chi_ref, clo_ref,
-                   sym_ref):
+                   counts_ref, stream_ref, cumt_hi_ref, cumt_lo_ref,
+                   headc_ref, sym_ref):
     # v_seg segments decode in one slot as INDEPENDENT dataflow chains
-    # (Mosaic cannot concatenate along the lane axis, and it doesn't need
-    # to: the chains share no data, so the scheduler interleaves their op
-    # latencies — the whole point of V-batching).
-    iota16 = jax.lax.broadcasted_iota(jnp.int32, (NG, 16), 1)
-    iota_jl = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 1)
-    lane_iota = iota_jl[0, :]
-    lt = _lt_mask()
-    cumh_row = cumh_ref[0, :]  # (16,) block-head cums
+    # (they share no data, so the scheduler interleaves their op
+    # latencies — the point of V-batching).
+    iota16_0, iota256_0, lane_iota, ltT = _iotas()
+    heads = headc_ref[:, :]  # (16,128) f32 cum heads, lanes replicated
 
     slot0 = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     states = []
     curs = []
+    ones = lane_iota >= 0
     for v in range(v_seg):
         cnt = counts_ref[0, slot0 * v_seg + v]
         c0 = cnt - 2 * NG
-        hi = _win_read(stream_ref, v * w_rows, c0, lane_iota, iota_jl)
-        lo = _win_read(stream_ref, v * w_rows, c0 + NG, lane_iota, iota_jl)
-        states.append((hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32))
+        hi = _win_read(stream_ref, iota256_0, v * w_rows, c0, lane_iota, ones)
+        lo = _win_read(stream_ref, iota256_0, v * w_rows, c0 + NG,
+                       lane_iota, ones)
+        x = hi.astype(jnp.int32).astype(jnp.uint32) << 16
+        states.append(x | lo.astype(jnp.int32).astype(jnp.uint32))
         curs.append(c0)
 
     def one(v, j, x, cur):
-        slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)
-        slot_f = slot[:, None].astype(jnp.float32)
-        # two-level strictly-increasing-cums search (sanitized tables)
-        hi_idx = jnp.sum(
-            (cumh_row[None, :] <= slot_f).astype(jnp.int32), axis=1
-        ) - 1
-        hi_oh = (hi_idx[:, None] == iota16).astype(jnp.float32)
-        cand = _dot16_exact(hi_oh, chi_ref[:, :], clo_ref[:, :])
-        lo_idx = jnp.sum((cand <= slot_f).astype(jnp.int32), axis=1) - 1
-        lo_oh = (lo_idx[:, None] == iota16).astype(jnp.float32)
-        c_f = jnp.sum(cand * lo_oh, axis=1)
-        # freq from cum deltas: f = cum[sym+1] - cum[sym], where cum[16·b]
-        # for the next block comes from the heads row and cum[256] = 4096.
-        hnext = jnp.sum(
-            jnp.where((hi_idx[:, None] + 1) == iota16, cumh_row[None, :], 0.0),
-            axis=1,
+        slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)  # (1,128)
+        slot_f = slot.astype(jnp.float32)
+        # two-level strictly-increasing-cums search (sanitized tables):
+        # L1 counts block heads ≤ slot, L2 counts in-block cums ≤ slot.
+        ge1 = (heads <= slot_f).astype(jnp.float32)                # (16,128)
+        hi_idx = jnp.sum(ge1, axis=0, keepdims=True).astype(jnp.int32) - 1
+        oh = (hi_idx == iota16_0).astype(jnp.bfloat16)             # (16,128)
+        cand = _tdot16(cumt_hi_ref, cumt_lo_ref, oh)               # (16,128)
+        le = cand <= slot_f
+        lo_idx = jnp.sum(le.astype(jnp.float32), axis=0,
+                         keepdims=True).astype(jnp.int32) - 1
+        # c = cand[lo_idx] = max of the ≤-masked cands (strictly increasing)
+        c_f = jnp.max(jnp.where(le, cand, 0.0), axis=0, keepdims=True)
+        # f = cum[sym+1] - cum[sym]; the next block head closes row 15 and
+        # cum[256] = PROB_SCALE closes the last block.
+        hnext = jnp.max(
+            jnp.where((hi_idx + 1) == iota16_0, heads, 0.0),
+            axis=0, keepdims=True,
         ) + jnp.where(hi_idx == 15, float(PROB_SCALE), 0.0)
-        cand_next = jnp.concatenate([cand[:, 1:], hnext[:, None]], axis=1)
-        f_f = jnp.sum(cand_next * lo_oh, axis=1) - c_f
-        f = f_f.astype(jnp.int32).astype(jnp.uint32)
+        cand_next = jnp.concatenate([cand[1:, :], hnext], axis=0)
+        fnext = jnp.max(jnp.where(le, cand_next, 0.0), axis=0, keepdims=True)
+        f = (fnext - c_f).astype(jnp.int32).astype(jnp.uint32)
         c = c_f.astype(jnp.int32).astype(jnp.uint32)
-        sym_ref[v * s_seg + j, :] = hi_idx * 16 + lo_idx
+        sym_ref[v * s_seg + j, :] = (hi_idx * 16 + lo_idx)[0, :]
         x = f * (x >> PROB_BITS) + slot.astype(jnp.uint32) - c
-        # ≤1 refill per lane (16-bit renorm): sequential window read
+        # ≤1 refill per lane (16-bit renorm): sequential window read, lanes
+        # ranked by an exclusive prefix sum over the need flags.
         need = x < jnp.uint32(WORD_L)
         k = jnp.sum(need.astype(jnp.int32))
-        rank = jnp.dot(
-            lt, need.astype(jnp.float32)[:, None],
+        rank = jax.lax.dot_general(
+            need.astype(jnp.bfloat16), ltT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[:, 0].astype(jnp.int32)
-        w = _win_read(stream_ref, v * w_rows, cur - k, rank, iota_jl)
-        x = jnp.where(need, (x << 16) | w.astype(jnp.uint32), x)
+        ).astype(jnp.int32)                                        # (1,128)
+        w = _win_read(stream_ref, iota256_0, v * w_rows, cur - k, rank, need)
+        x = jnp.where(
+            need, (x << 16) | w.astype(jnp.int32).astype(jnp.uint32), x)
         return x, cur - k
 
     def body(j, carry):
@@ -258,13 +287,14 @@ def decode_words_pallas(
 
     del freqs  # decode derives freqs from cum deltas (f = cum[s+1]-cum[s])
     c32 = cums.astype(jnp.int32)
-    chi = (c32 >> 8).astype(jnp.float32).reshape(n_tables * 16, 16)
-    clo = (c32 & 255).astype(jnp.float32).reshape(n_tables * 16, 16)
-    # cum heads replicated into (16,16) blocks: a (1,16) block would
-    # violate the TPU sublane tiling rule (kernel reads row 0).
-    cum_heads = jnp.broadcast_to(
-        c32[:, ::16].astype(jnp.float32)[:, None, :], (n_tables, 16, 16)
-    ).reshape(n_tables * 16, 16)
+    # transposed block tables T[j,k] = cum[16k+j] → lookups land lane-major
+    ct = c32.reshape(n_tables, 16, 16).transpose(0, 2, 1)
+    chi = (ct >> 8).astype(jnp.float32).reshape(n_tables * 16, 16)
+    clo = (ct & 255).astype(jnp.float32).reshape(n_tables * 16, 16)
+    # block-head cums replicated along lanes: (n_tables·16, 128)
+    heads = jnp.broadcast_to(
+        c32[:, ::16].astype(jnp.float32)[:, :, None], (n_tables, 16, NG)
+    ).reshape(n_tables * 16, NG)
 
     kernel = partial(_decode_kernel, v_seg, s_seg, w_rows)
     sym = pl.pallas_call(
@@ -277,10 +307,13 @@ def decode_words_pallas(
             pl.BlockSpec((v_seg * w_rows, 128),
                          lambda t, s: (t * slots_per_table + s, 0),
                          memory_space=pltpu.VMEM),
-        ] + [
             pl.BlockSpec((16, 16), lambda t, s: (t, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda t, s: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, NG), lambda t, s: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
             (v_seg * s_seg, 128), lambda t, s: (t * slots_per_table + s, 0),
             memory_space=pltpu.VMEM,
@@ -290,7 +323,7 @@ def decode_words_pallas(
     )(
         counts.astype(jnp.int32).reshape(1, n_streams),
         streams.reshape(n_streams * w_rows, 128),
-        cum_heads, chi, clo,
+        chi, clo, heads,
     )
     return sym.reshape(n_streams, s_seg, 128)
 
@@ -299,34 +332,33 @@ def decode_words_pallas(
 
 
 def _encode_kernel(v_seg, s_seg, w_rows,
-                   sym_ref, fchi_ref, fclo_ref, stream_ref, counts_ref):
+                   sym_ref, ft_hi_ref, ft_lo_ref, ct_hi_ref, ct_lo_ref,
+                   stream_ref, counts_ref):
     # v_seg independent per-segment chains per slot (see _decode_kernel).
-    iota16 = jax.lax.broadcasted_iota(jnp.int32, (NG, 16), 1)
-    iota32 = jax.lax.broadcasted_iota(jnp.int32, (NG, 32), 1)
-    iota_jl = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 1)
-    lane_iota = iota_jl[0, :]
-    ones = lane_iota >= 0
-    lt = _lt_mask()
+    iota16_0, iota256_0, lane_iota, ltT = _iotas()
 
     stream_ref[:, :] = jnp.zeros(stream_ref.shape, stream_ref.dtype)
 
     def one(v, i, x, cur):
-        row = sym_ref[v * s_seg + (s_seg - 1 - i), :]  # LIFO over rows
-        # fused (freq | cum) lookup: one dot pair over the (16, 32) table
-        hi_oh = ((row[:, None] >> 4) == iota16).astype(jnp.float32)
-        blk = _dot16_exact(hi_oh, fchi_ref[:, :], fclo_ref[:, :])  # (NG, 32)
-        lo_oh = ((row[:, None] & 15) == iota32 % 16).astype(jnp.float32)
-        fc = blk * lo_oh
-        f = jnp.sum(fc[:, :16], axis=1).astype(jnp.int32).astype(jnp.uint32)
-        c = jnp.sum(fc[:, 16:], axis=1).astype(jnp.int32).astype(jnp.uint32)
+        row = sym_ref[pl.ds(v * s_seg + (s_seg - 1 - i), 1), :]  # LIFO rows
+        shi = row >> 4
+        slo = row & 15
+        oh = (shi == iota16_0).astype(jnp.bfloat16)              # (16,128)
+        fcand = _tdot16(ft_hi_ref, ft_lo_ref, oh)                # (16,128)
+        ccand = _tdot16(ct_hi_ref, ct_lo_ref, oh)
+        sel = (slo == iota16_0).astype(jnp.float32)
+        f_f = jnp.sum(fcand * sel, axis=0, keepdims=True)
+        c_f = jnp.sum(ccand * sel, axis=0, keepdims=True)
+        f = f_f.astype(jnp.int32).astype(jnp.uint32)
+        c = c_f.astype(jnp.int32).astype(jnp.uint32)
         emit = (x >> 20) >= f
         w = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
         k = jnp.sum(emit.astype(jnp.int32))
-        rank = jnp.dot(
-            lt, emit.astype(jnp.float32)[:, None],
+        rank = jax.lax.dot_general(
+            emit.astype(jnp.bfloat16), ltT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[:, 0].astype(jnp.int32)
-        _win_append(stream_ref, v * w_rows, cur, rank, w, emit, iota_jl)
+        ).astype(jnp.int32)
+        _win_append(stream_ref, iota256_0, v * w_rows, cur, rank, w, emit)
         x = jnp.where(emit, x >> 16, x)
         q = x // f
         x = (q << PROB_BITS) + (x - q * f) + c
@@ -337,19 +369,20 @@ def _encode_kernel(v_seg, s_seg, w_rows,
         outs = [one(v, i, xs[v], cs[v]) for v in range(v_seg)]
         return tuple(o[0] for o in outs), tuple(o[1] for o in outs)
 
-    x0 = tuple(jnp.full((NG,), WORD_L, jnp.uint32) for _ in range(v_seg))
+    x0 = tuple(jnp.full((1, NG), WORD_L, jnp.uint32) for _ in range(v_seg))
     c0 = tuple(jnp.int32(0) for _ in range(v_seg))
     xs, curs = jax.lax.fori_loop(0, s_seg, body, (x0, c0))
 
     # per-segment state flush: hi row then lo row, lane-ascending; counts
     # broadcast into (8,128) sub-blocks (per-slot scalar outputs violate
     # the TPU tiling rules; callers read element [v·8, 0]).
+    ones = lane_iota >= 0
     for v in range(v_seg):
-        _win_append(stream_ref, v * w_rows, curs[v], lane_iota,
-                    (xs[v] >> 16).astype(jnp.int32), ones, iota_jl)
-        _win_append(stream_ref, v * w_rows, curs[v] + NG, lane_iota,
-                    (xs[v] & jnp.uint32(0xFFFF)).astype(jnp.int32), ones,
-                    iota_jl)
+        _win_append(stream_ref, iota256_0, v * w_rows, curs[v], lane_iota,
+                    (xs[v] >> 16).astype(jnp.int32), ones)
+        _win_append(stream_ref, iota256_0, v * w_rows, curs[v] + NG,
+                    lane_iota, (xs[v] & jnp.uint32(0xFFFF)).astype(jnp.int32),
+                    ones)
         counts_ref[v * 8 : (v + 1) * 8, :] = jnp.full(
             (8, 128), curs[v] + 2 * NG, jnp.int32
         )
@@ -386,12 +419,16 @@ def encode_words_pallas(
         )
     slots_per_table = seg_per_table // v_seg
 
-    # fused (freq | cum) table: columns 0-15 freq, 16-31 cum, hi/lo split
-    f32 = freqs.astype(jnp.int32).reshape(n_tables, 16, 16)
-    c32 = cums.astype(jnp.int32).reshape(n_tables, 16, 16)
-    fc = jnp.concatenate([f32, c32], axis=2)  # (n_tables, 16, 32)
-    fchi = (fc >> 8).astype(jnp.float32).reshape(n_tables * 16, 32)
-    fclo = (fc & 255).astype(jnp.float32).reshape(n_tables * 16, 32)
+    # transposed block tables T[j,k] = v[16k+j], hi/lo split (see _tdot16)
+    def tsplit(v):
+        vt = v.astype(jnp.int32).reshape(n_tables, 16, 16).transpose(0, 2, 1)
+        return (
+            (vt >> 8).astype(jnp.float32).reshape(n_tables * 16, 16),
+            (vt & 255).astype(jnp.float32).reshape(n_tables * 16, 16),
+        )
+
+    fhi, flo = tsplit(freqs)
+    chi, clo = tsplit(cums)
 
     kernel = partial(_encode_kernel, v_seg, s_seg, w_rows)
     streams, counts = pl.pallas_call(
@@ -406,9 +443,9 @@ def encode_words_pallas(
                          lambda t, s: (t * slots_per_table + s, 0),
                          memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((16, 32), lambda t, s: (t, 0),
+            pl.BlockSpec((16, 16), lambda t, s: (t, 0),
                          memory_space=pltpu.VMEM)
-        ] * 2,
+        ] * 4,
         out_specs=(
             pl.BlockSpec((v_seg * w_rows, 128),
                          lambda t, s: (t * slots_per_table + s, 0),
@@ -421,7 +458,7 @@ def encode_words_pallas(
         interpret=interpret,
     )(
         symbols.reshape(n_streams * s_seg, 128).astype(jnp.int32),
-        fchi, fclo,
+        fhi, flo, chi, clo,
     )
     return (
         streams.reshape(n_streams, w_rows, 128),
