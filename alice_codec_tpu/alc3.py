@@ -25,11 +25,14 @@ against the NumPy spec (tests/test_alc3.py): a pure-host decoder
 
 Container layout (little-endian)::
 
-    "ALC3" | version=1 | wavelet u8 | w u32 | h u32 | f u32
-    n_chunks u32 | s_seg u32
-    per chunk × n_chunks, per channel × 3:
-        ChannelHeader (1040 B, identical to .alc; compressed_len in bytes)
-        n_segments × u32 per-segment word counts
+    "ALC3" | version=2 | wavelet u8 | w u32 | h u32 | f u32
+    n_chunks u32 | s_seg u32 | n_segments u32
+    per chunk × n_chunks:
+        flags u8 (bit 0: per-band RDO steps present)
+        per channel × 3:
+            ChannelHeader (1040 B, identical to .alc; compressed_len bytes)
+            n_segments × u32 per-segment word counts
+            [flags&1] 8 × i32 per-band quant steps (SubBand3D order)
     payload: per chunk/channel/segment, the meaningful u16 words (LE)
 
 Every chunk remains independently decodable (self-contained headers and
@@ -55,8 +58,16 @@ from .ops.pallas.rans3_kernels import (
     encode_words_pallas,
     stream_rows,
 )
+from .ops.quant import AnalyticalRDO
 from .ops.tables_device import freq_table_device
-from .pipeline import ChannelHeader, decode_device, encode_device
+from .pipeline import (
+    ChannelHeader,
+    decode_bands_device,
+    decode_device,
+    encode_bands_device,
+    encode_device,
+    transform_moments_device,
+)
 
 __all__ = ["DEFAULT_S_SEG", "DeviceChunk", "Alc3Codec"]
 
@@ -67,7 +78,8 @@ __all__ = ["DEFAULT_S_SEG", "DeviceChunk", "Alc3Codec"]
 DEFAULT_S_SEG = 2048
 
 _MAGIC3 = b"ALC3"
-_VERSION3 = 1
+_VERSION3 = 2
+_FLAG_RDO = 1
 
 
 def _segment_geometry(
@@ -111,20 +123,55 @@ def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg, v_seg):
     return streams, counts, hists
 
 
+@partial(jax.jit, static_argnames=("padded", "s_seg", "v_seg"))
+def _encode_chunk_rdo(coeffs, steps8, dzs8, *, padded, s_seg, v_seg):
+    """RDO phase-2 fused encode: (coeffs, per-band steps) →
+    (streams, counts, hists)."""
+    symbols, hists = encode_bands_device(coeffs, steps8, dzs8, padded=padded)
+    freqs, cums = jax.vmap(freq_table_device)(hists)
+    p = padded[0] * padded[1] * padded[2]
+    n_seg, m = _segment_geometry(p, s_seg, v_seg)
+    sym = symbols.astype(jnp.int32)
+    if m != p:
+        sym = jnp.pad(sym, ((0, 0), (0, m - p)))
+    sym = sym.reshape(3 * n_seg, s_seg, NG)
+    streams, counts = encode_words_pallas(sym, freqs, cums, v_seg=v_seg)
+    return streams, counts, hists
+
+
+def _entropy_decode(streams, counts, hists, *, padded, s_seg, v_seg):
+    """Pallas segment decode → (3, P) uint8 symbols."""
+    freqs, cums = jax.vmap(freq_table_device)(hists)
+    sym = decode_words_pallas(
+        streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
+    )
+    p = padded[0] * padded[1] * padded[2]
+    return sym.reshape(3, -1)[:, :p].astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=(
     "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact"))
 def _decode_chunk(streams, counts, hists, steps, *, wavelet_type, dims,
                   padded, s_seg, v_seg, exact=False):
     """Full fused decode: (streams, counts, hists, per-channel steps) →
     RGB (T,H,W,3) uint8."""
-    freqs, cums = jax.vmap(freq_table_device)(hists)
-    sym = decode_words_pallas(
-        streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
-    )
-    p = padded[0] * padded[1] * padded[2]
-    sym = sym.reshape(3, -1)[:, :p].astype(jnp.uint8)
+    sym = _entropy_decode(streams, counts, hists, padded=padded,
+                          s_seg=s_seg, v_seg=v_seg)
     return decode_device(
         sym, steps, steps, wavelet_type=wavelet_type, dims=dims,
+        padded=padded, exact=exact,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact"))
+def _decode_chunk_rdo(streams, counts, hists, steps8, *, wavelet_type, dims,
+                      padded, s_seg, v_seg, exact=False):
+    """Full fused RDO decode: per-band dequantization (steps8 (3,8))."""
+    sym = _entropy_decode(streams, counts, hists, padded=padded,
+                          s_seg=s_seg, v_seg=v_seg)
+    return decode_bands_device(
+        sym, steps8, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact,
     )
 
@@ -148,6 +195,9 @@ class DeviceChunk:
     streams: jax.Array
     counts: jax.Array
     hists: jax.Array
+    #: (3, 8) int32 per-channel per-band quant steps when the chunk was
+    #: encoded with AnalyticalRDO; None for fixed-step chunks.
+    band_steps: np.ndarray | None = None
 
     @property
     def n_segments(self) -> int:
@@ -177,6 +227,7 @@ class Alc3Codec:
         wavelet: str | WaveletType = "cdf53",
         *,
         s_seg: int = DEFAULT_S_SEG,
+        rdo: bool = False,
     ):
         if s_seg % 8:
             raise ValueError(f"s_seg must be a multiple of 8, got {s_seg}")
@@ -187,6 +238,9 @@ class Alc3Codec:
         )
         self.s_seg = int(s_seg)
         self.step = quality_to_step(self.quality)
+        #: opt-in AnalyticalRDO: per-sub-band steps from device moments
+        #: (BASELINE config 2; reference manual pipeline src/quant.rs:472-524)
+        self.rdo = bool(rdo)
 
     # ── device path (HBM-resident, zero host traffic) ───────────
 
@@ -201,6 +255,31 @@ class Alc3Codec:
         padded = padded_dims(w, h, t)
         p = int(np.prod(padded))
         n_seg, _ = _segment_geometry(p, self.s_seg)
+        v_seg = _pick_v_seg(n_seg)
+        if self.rdo:
+            # phase 1: transform + moments; the host turns the (tiny)
+            # exact integer moments into per-band steps; phase 2 reuses
+            # the HBM-resident coefficients.
+            coeffs, s1, s2 = transform_moments_device(
+                jnp.asarray(rgb), wavelet_type=self.wavelet_type,
+                padded=padded,
+            )
+            rdo = AnalyticalRDO.with_quality(self.quality)
+            s1_np, s2_np = np.asarray(s1), np.asarray(s2)
+            steps = np.empty((3, 8), np.int32)
+            dzs = np.empty((3, 8), np.int32)
+            for ch in range(3):
+                steps[ch], dzs[ch] = rdo.steps_from_moments(
+                    p // 8, s1_np[ch], s2_np[ch]
+                )
+            streams, counts, hists = _encode_chunk_rdo(
+                coeffs, jnp.asarray(steps), jnp.asarray(dzs),
+                padded=padded, s_seg=self.s_seg, v_seg=v_seg,
+            )
+            return DeviceChunk(
+                w, h, t, self.wavelet_type, int(steps.min()), self.s_seg,
+                streams, counts, hists, band_steps=steps,
+            )
         streams, counts, hists = _encode_chunk(
             jnp.asarray(rgb),
             jnp.int32(self.step),
@@ -208,7 +287,7 @@ class Alc3Codec:
             wavelet_type=self.wavelet_type,
             padded=padded,
             s_seg=self.s_seg,
-            v_seg=_pick_v_seg(n_seg),
+            v_seg=v_seg,
         )
         return DeviceChunk(
             w, h, t, self.wavelet_type, self.step, self.s_seg,
@@ -221,6 +300,15 @@ class Alc3Codec:
         ``as_numpy``."""
         w, h, t = chunk.width, chunk.height, chunk.frames
         padded = padded_dims(w, h, t)
+        if chunk.band_steps is not None:
+            rgb = _decode_chunk_rdo(
+                chunk.streams, chunk.counts, chunk.hists,
+                jnp.asarray(chunk.band_steps, jnp.int32),
+                wavelet_type=chunk.wavelet_type, dims=(w, h, t),
+                padded=padded, s_seg=chunk.s_seg,
+                v_seg=_pick_v_seg(chunk.n_segments), exact=exact,
+            )
+            return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
         steps = jnp.full((3,), chunk.quant_step, jnp.int32)
         rgb = _decode_chunk(
             chunk.streams, chunk.counts, chunk.hists, steps,
@@ -257,6 +345,7 @@ class Alc3Codec:
             streams = np.asarray(ck.streams)  # (3*nseg, w_rows, 128) int32
             n_seg = ck.n_segments
             hists = np.asarray(ck.hists).astype(np.uint32)
+            buf.append(_FLAG_RDO if ck.band_steps is not None else 0)
             for ch in range(3):
                 ch_counts = counts[ch * n_seg : (ch + 1) * n_seg]
                 buf += ChannelHeader(
@@ -267,6 +356,10 @@ class Alc3Codec:
                     histogram=hists[ch],
                 ).to_bytes()
                 buf += ch_counts.astype("<u4").tobytes()
+                if ck.band_steps is not None:
+                    buf += np.asarray(
+                        ck.band_steps[ch], np.int32
+                    ).astype("<i4").tobytes()
                 for s in range(n_seg):
                     words = streams[ch * n_seg + s].reshape(-1)[: ch_counts[s]]
                     payload += words.astype("<u2").tobytes()
@@ -300,18 +393,31 @@ class Alc3Codec:
         w_rows = stream_rows(s_seg)
 
         off = 30
-        metas = []  # (step, hists (3,256), counts (3, nseg)) per chunk
+        metas = []  # (step, hists, counts, band_steps|None) per chunk
         for _ in range(n_chunks):
+            if off + 1 > len(data):
+                raise InvalidBitstream("truncated ALC3 chunk flags")
+            flags = data[off]
+            off += 1
             hists = np.zeros((3, 256), np.uint32)
             counts = np.zeros((3, n_seg), np.int64)
+            band_steps = (
+                np.zeros((3, 8), np.int32) if flags & _FLAG_RDO else None
+            )
             step = 1
             for ch in range(3):
-                if off + 1040 + 4 * n_seg > len(data):
+                extra = 32 if band_steps is not None else 0
+                if off + 1040 + 4 * n_seg + extra > len(data):
                     raise InvalidBitstream("truncated ALC3 header section")
                 hdr = ChannelHeader.from_bytes(data[off : off + 1040])
                 off += 1040
                 counts[ch] = np.frombuffer(data, "<u4", n_seg, off)
                 off += 4 * n_seg
+                if band_steps is not None:
+                    band_steps[ch] = np.frombuffer(data, "<i4", 8, off)
+                    if (band_steps[ch] < 1).any():
+                        raise InvalidBitstream("non-positive RDO band step")
+                    off += 32
                 if hdr.num_symbols != p:
                     raise InvalidBitstream(
                         f"num_symbols {hdr.num_symbols} != padded pixels {p}"
@@ -320,11 +426,11 @@ class Alc3Codec:
                     raise InvalidBitstream("segment counts disagree with header")
                 hists[ch] = hdr.histogram
                 step = hdr.quant_step
-            metas.append((step, hists, counts))
+            metas.append((step, hists, counts, band_steps))
 
         chunks = []
         cap = segment_cap = w_rows * 128
-        for step, hists, counts in metas:
+        for step, hists, counts, band_steps in metas:
             flat_counts = counts.reshape(-1)
             streams = np.zeros((3 * n_seg, segment_cap), np.int32)
             for i, cnt in enumerate(flat_counts):
@@ -343,12 +449,16 @@ class Alc3Codec:
                     jnp.asarray(streams.reshape(3 * n_seg, w_rows, 128)),
                     jnp.asarray(flat_counts.astype(np.int32)),
                     jnp.asarray(hists),
+                    band_steps=band_steps,
                 )
             )
         # recover quality from the step map step = max(64 - q*63/100, 1)
+        # (best-effort for RDO chunks, whose header step is the min band step)
         step0 = metas[0][0] if metas else 1
         quality = next(
             (q for q in range(100, -1, -1) if quality_to_step(q) == step0), 90
         )
-        codec = cls(quality=quality, wavelet=wavelet_type, s_seg=int(s_seg))
+        rdo = bool(metas) and metas[0][3] is not None
+        codec = cls(quality=quality, wavelet=wavelet_type, s_seg=int(s_seg),
+                    rdo=rdo)
         return codec, chunks

@@ -40,6 +40,10 @@ __all__ = [
     "to_symbols",
     "from_symbols",
     "build_histogram",
+    "band_broadcast",
+    "quantize_bands",
+    "dequantize_bands",
+    "band_moments",
     "Quantizer",
     "FastQuantizer",
     "AnalyticalRDO",
@@ -106,6 +110,80 @@ def build_histogram(symbols: jnp.ndarray) -> jnp.ndarray:
 
 
 # ── Host object API (mirrors reference classes) ─────────────────
+
+
+# ── Per-sub-band device primitives (AnalyticalRDO's device half) ─
+#
+# After one forward_3d level the 8 sub-bands are contiguous octants of the
+# (T, H, W) volume ([low | high] per axis, reference src/wavelet.rs
+# layout), so a per-band scalar becomes a per-element volume by a reshape
+# to (..., 2, T/2, 2, H/2, 2, W/2) and a broadcast — no gather, no
+# jnp.where over band masks; XLA fuses it into the consumer elementwise op.
+
+
+def band_broadcast(values8: jnp.ndarray, vol_shape: tuple[int, ...]) -> jnp.ndarray:
+    """Broadcast per-sub-band scalars to a transformed-volume layout.
+
+    ``values8``: (..., 8) indexed by ``int(SubBand3D)`` (bits y, x, t —
+    core.py); ``vol_shape``: target (..., T, H, W) with even T/H/W.
+    Returns an int32 volume where each element holds its band's value.
+    """
+    t, h, w = vol_shape[-3:]
+    ht, hh, hw = t // 2, h // 2, w // 2
+    lead = values8.shape[:-1]
+    # (..., 8) → (..., y2, x2, t2) → (..., t2, 1, y2, 1, x2, 1)
+    v = values8.astype(jnp.int32).reshape(*lead, 2, 2, 2)
+    v = jnp.moveaxis(v, -1, -3)  # (..., t2, y2, x2)
+    v = v[..., :, None, :, None, :, None]
+    vol = jnp.broadcast_to(v, (*lead, 2, ht, 2, hh, 2, hw))
+    return vol.reshape(*lead, t, h, w)
+
+
+def quantize_bands(coeffs: jnp.ndarray, steps8, dead_zones8) -> jnp.ndarray:
+    """Dead-zone quantize with per-sub-band steps (AnalyticalRDO device
+    path, reference manual pipeline src/quant.rs:472-524).
+
+    ``coeffs``: (..., T, H, W) int32 transformed volume; ``steps8`` /
+    ``dead_zones8``: (..., 8) int32.  Same arithmetic as :func:`quantize`
+    per element — bit-equal to quantizing each extracted sub-band with its
+    own ``Quantizer`` (the reference's FastQuantizer magic-number division
+    is exact, so plain integer division matches it bit-for-bit).
+    """
+    step_v = band_broadcast(jnp.asarray(steps8), coeffs.shape)
+    dz_v = band_broadcast(jnp.asarray(dead_zones8), coeffs.shape)
+    return quantize(coeffs, step_v, dz_v)
+
+
+def dequantize_bands(qcoeffs: jnp.ndarray, steps8) -> jnp.ndarray:
+    """Inverse of :func:`quantize_bands`: per-band ``q * step``."""
+    step_v = band_broadcast(jnp.asarray(steps8), qcoeffs.shape)
+    return qcoeffs.astype(jnp.int32) * step_v
+
+
+def band_moments(coeffs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact per-sub-band integer moments on device.
+
+    ``coeffs``: (..., T, H, W) int32.  Returns ``(s1, s2)`` each (..., 8)
+    int64 — sum and sum-of-squares per band (order-independent integer
+    arithmetic, so host and device agree exactly; the per-band element
+    count is ``T*H*W // 8``, static).  Feed
+    :meth:`AnalyticalRDO.steps_from_moments`.
+    """
+    import jax
+
+    t, h, w = coeffs.shape[-3:]
+    ht, hh, hw = t // 2, h // 2, w // 2
+    lead = coeffs.shape[:-3]
+    v = coeffs.reshape(*lead, 2, ht, 2, hh, 2, hw)
+    with jax.enable_x64(True):
+        c = v.astype(jnp.int64)
+        # reduce the half-dims → (..., t2, y2, x2)
+        s1 = jnp.sum(c, axis=(-5, -3, -1))
+        s2 = jnp.sum(c * c, axis=(-5, -3, -1))
+    # (..., t2, y2, x2) → (..., y2, x2, t2) → (..., 8) in SubBand3D order
+    s1 = jnp.moveaxis(s1, -3, -1).reshape(*lead, 8)
+    s2 = jnp.moveaxis(s2, -3, -1).reshape(*lead, 8)
+    return s1, s2
 
 
 class Quantizer:
@@ -270,6 +348,44 @@ class AnalyticalRDO:
             self.compute_quantizer(coeffs, band)
             for coeffs, band in zip(subbands, SubBand3D, strict=True)
         ]
+
+    @staticmethod
+    def variance_from_moments(n: int, s1: int, s2: int) -> float:
+        """Population variance from exact integer moments, floored at 1.0.
+
+        ``var = (s2 - s1²/n) / n`` in f64 — algebraically equal to
+        :meth:`estimate_variance`'s elementwise form; the integer moments
+        are order-independent, so the device reduction
+        (:func:`band_moments`) and a host loop produce identical steps.
+        """
+        if n == 0:
+            return 1.0
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        return max(var, 1.0)
+
+    def step_from_moments(self, n: int, s1: int, s2: int,
+                          subband: SubBand3D) -> tuple[int, int]:
+        """(step, dead_zone) for one band from device moments
+        (src/quant.rs:472-490 composition, dead_zone = 1.5×step)."""
+        var = self.variance_from_moments(n, s1, s2)
+        base_step = self.lambda_to_step(self.compute_optimal_lambda(var))
+        step = max(base_step * subband.quant_strength, 1)
+        return step, step + step // 2
+
+    def steps_from_moments(self, n: int, s1_8, s2_8) -> tuple[np.ndarray, np.ndarray]:
+        """Per-band (steps, dead_zones) int32 (8,) arrays from
+        :func:`band_moments` output for one channel; ``n`` is the per-band
+        element count (volume size // 8)."""
+        steps = np.empty(8, np.int32)
+        dzs = np.empty(8, np.int32)
+        for band in SubBand3D:
+            s, d = self.step_from_moments(
+                n, int(s1_8[int(band)]), int(s2_8[int(band)]), band
+            )
+            steps[int(band)] = s
+            dzs[int(band)] = d
+        return steps, dzs
 
 
 def quantize_subband(coeffs, quantizer: Quantizer) -> np.ndarray:

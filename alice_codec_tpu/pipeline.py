@@ -57,6 +57,33 @@ _CHANNEL_HEADER_BYTES = 1040
 # ── Device programs ─────────────────────────────────────────────
 
 
+def _transform(rgb, wavelet_type, padded):
+    """color → edge-pad → forward 3D wavelet: uint8 (T,H,W,3) → int32
+    coefficients (3, pT, pH, pW) (shared by the fixed-step and RDO
+    encode programs)."""
+    pw, ph, pf = padded
+    t, h, w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
+
+    y, co, cg = color.rgb_to_ycocg_r(rgb)           # (T,H,W) i16 each
+    chans = jnp.stack([y, co, cg]).astype(jnp.int32)  # (3,T,H,W)
+
+    # Edge-replicating pad to even dims (reference src/pipeline.rs:77-114).
+    chans = jnp.pad(
+        chans,
+        ((0, 0), (0, pf - t), (0, ph - h), (0, pw - w)),
+        mode="edge",
+    )
+    return wavelet.forward_3d(chans, wavelet_type)
+
+
+def _symbolize(qcoeffs, padded):
+    """zigzag symbols + per-channel histograms from quantized coeffs."""
+    pw, ph, pf = padded
+    symbols = quant.to_symbols(qcoeffs).reshape(3, pf * ph * pw)
+    hists = jax.vmap(quant.build_histogram)(symbols)
+    return symbols, hists
+
+
 @partial(jax.jit, static_argnames=("wavelet_type", "padded"))
 def encode_device(
     rgb: jnp.ndarray,
@@ -72,24 +99,44 @@ def encode_device(
     symbols uint8 ``(3, pT*pH*pW)`` (channel order Y, Co, Cg, frame-major
     like the reference) and histograms uint32 ``(3, 256)``.
     """
-    pw, ph, pf = padded
-    t, h, w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
-
-    y, co, cg = color.rgb_to_ycocg_r(rgb)           # (T,H,W) i16 each
-    chans = jnp.stack([y, co, cg]).astype(jnp.int32)  # (3,T,H,W)
-
-    # Edge-replicating pad to even dims (reference src/pipeline.rs:77-114).
-    chans = jnp.pad(
-        chans,
-        ((0, 0), (0, pf - t), (0, ph - h), (0, pw - w)),
-        mode="edge",
-    )
-
-    coeffs = wavelet.forward_3d(chans, wavelet_type)
+    coeffs = _transform(rgb, wavelet_type, padded)
     qcoeffs = quant.quantize(coeffs, step, dead_zone)
-    symbols = quant.to_symbols(qcoeffs).reshape(3, pf * ph * pw)
-    hists = jax.vmap(quant.build_histogram)(symbols)
-    return symbols, hists
+    return _symbolize(qcoeffs, padded)
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "padded"))
+def transform_moments_device(
+    rgb: jnp.ndarray,
+    *,
+    wavelet_type: WaveletType,
+    padded: tuple[int, int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RDO phase 1: transform + exact per-band integer moments.
+
+    Returns ``(coeffs (3,pT,pH,pW) int32, s1 (3,8) int64, s2 (3,8)
+    int64)``; the host turns the (tiny) moments into per-band steps
+    (AnalyticalRDO.steps_from_moments) and feeds phase 2
+    (:func:`encode_bands_device`).  Reference manual-pipeline composition:
+    src/quant.rs:472-524.
+    """
+    coeffs = _transform(rgb, wavelet_type, padded)
+    s1, s2 = quant.band_moments(coeffs)
+    return coeffs, s1, s2
+
+
+@partial(jax.jit, static_argnames=("padded",))
+def encode_bands_device(
+    coeffs: jnp.ndarray,
+    steps8: jnp.ndarray,
+    dead_zones8: jnp.ndarray,
+    *,
+    padded: tuple[int, int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """RDO phase 2: per-sub-band quantize → symbols + histograms.
+
+    ``steps8``/``dead_zones8``: (3, 8) int32 per-channel per-band."""
+    qcoeffs = quant.quantize_bands(coeffs, steps8, dead_zones8)
+    return _symbolize(qcoeffs, padded)
 
 
 @partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
@@ -117,6 +164,27 @@ def decode_device(
     del dead_zone  # stored in headers but unused by dequantization
     volume = wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
     # i32 → i16 truncating cast, strip padding (src/pipeline.rs:602-611).
+    chans = volume[:, :t, :h, :w].astype(jnp.int16)
+    return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
+def decode_bands_device(
+    symbols: jnp.ndarray,
+    steps8: jnp.ndarray,
+    *,
+    wavelet_type: WaveletType,
+    dims: tuple[int, int, int],
+    padded: tuple[int, int, int],
+    exact: bool = False,
+) -> jnp.ndarray:
+    """Per-sub-band decode stage (inverse of the RDO encode path):
+    symbols (3, P) uint8 + ``steps8`` (3, 8) int32 → RGB uint8."""
+    w, h, t = dims
+    pw, ph, pf = padded
+    qcoeffs = quant.from_symbols(symbols).reshape(3, pf, ph, pw)
+    coeffs = quant.dequantize_bands(qcoeffs, steps8)
+    volume = wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
     chans = volume[:, :t, :h, :w].astype(jnp.int16)
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
 
