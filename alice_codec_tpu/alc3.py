@@ -28,12 +28,17 @@ Container layout (little-endian)::
     "ALC3" | version=2 | wavelet u8 | w u32 | h u32 | f u32
     n_chunks u32 | s_seg u32 | n_segments u32
     per chunk × n_chunks:
-        flags u8 (bit 0: per-band RDO steps present)
-        per channel × 3:
+        flags u8 (bit 0: per-band RDO steps; bit 1: deep 16-bit symbols)
+        per plane × (6 if deep else 3):
             ChannelHeader (1040 B, identical to .alc; compressed_len bytes)
             n_segments × u32 per-segment word counts
             [flags&1] 8 × i32 per-band quant steps (SubBand3D order)
-    payload: per chunk/channel/segment, the meaningful u16 words (LE)
+    payload: per chunk/plane/segment, the meaningful u16 words (LE)
+
+Deep chunks code the unwrapped 16-bit zigzag as lo/hi byte planes
+(plane order Y-lo, Y-hi, Co-lo, Co-hi, Cg-lo, Cg-hi) — the escape
+mechanism that makes q=100 end-to-end lossless on arbitrary content
+(the reference's u8 zigzag wraps at |q| > 127, src/quant.rs:558-559).
 
 Every chunk remains independently decodable (self-contained headers and
 histograms), preserving the checkpoint/resume property of `.alc`.
@@ -63,8 +68,10 @@ from .ops.tables_device import freq_table_device
 from .pipeline import (
     ChannelHeader,
     decode_bands_device,
+    decode_deep_device,
     decode_device,
     encode_bands_device,
+    encode_deep_device,
     encode_device,
     transform_moments_device,
 )
@@ -80,6 +87,7 @@ DEFAULT_S_SEG = 2048
 _MAGIC3 = b"ALC3"
 _VERSION3 = 2
 _FLAG_RDO = 1
+_FLAG_DEEP = 2
 
 
 def _segment_geometry(
@@ -121,6 +129,46 @@ def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg, v_seg):
     sym = sym.reshape(3 * n_seg, s_seg, NG)
     streams, counts = encode_words_pallas(sym, freqs, cums, v_seg=v_seg)
     return streams, counts, hists
+
+
+def _segment_symbols(symbols, n_planes, *, padded, s_seg, v_seg):
+    """(n_planes, P) symbols → (n_planes·n_seg, s_seg, NG) segment rows."""
+    p = padded[0] * padded[1] * padded[2]
+    n_seg, m = _segment_geometry(p, s_seg, v_seg)
+    sym = symbols.astype(jnp.int32)
+    if m != p:
+        sym = jnp.pad(sym, ((0, 0), (0, m - p)))
+    return sym.reshape(n_planes * n_seg, s_seg, NG)
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "s_seg", "v_seg"))
+def _encode_chunk_deep(rgb, step, dead_zone, *, wavelet_type, padded,
+                       s_seg, v_seg):
+    """Deep (16-bit symbol) fused encode: 6 planes, 6 tables."""
+    planes, hists = encode_deep_device(
+        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded
+    )
+    freqs, cums = jax.vmap(freq_table_device)(hists)
+    sym = _segment_symbols(planes, 6, padded=padded, s_seg=s_seg,
+                           v_seg=v_seg)
+    streams, counts = encode_words_pallas(sym, freqs, cums, v_seg=v_seg)
+    return streams, counts, hists
+
+
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact"))
+def _decode_chunk_deep(streams, counts, hists, steps, *, wavelet_type, dims,
+                       padded, s_seg, v_seg, exact=False):
+    freqs, cums = jax.vmap(freq_table_device)(hists)
+    sym = decode_words_pallas(
+        streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
+    )
+    p = padded[0] * padded[1] * padded[2]
+    planes = sym.reshape(6, -1)[:, :p].astype(jnp.uint8)
+    return decode_deep_device(
+        planes, steps, wavelet_type=wavelet_type, dims=dims,
+        padded=padded, exact=exact,
+    )
 
 
 @partial(jax.jit, static_argnames=("padded", "s_seg", "v_seg"))
@@ -198,10 +246,17 @@ class DeviceChunk:
     #: (3, 8) int32 per-channel per-band quant steps when the chunk was
     #: encoded with AnalyticalRDO; None for fixed-step chunks.
     band_steps: np.ndarray | None = None
+    #: deep (16-bit symbol) chunk: 6 lo/hi byte planes instead of 3
+    #: channels (ALC3's |q|>127 escape mechanism).
+    deep: bool = False
+
+    @property
+    def n_planes(self) -> int:
+        return 6 if self.deep else 3
 
     @property
     def n_segments(self) -> int:
-        return self.streams.shape[0] // 3
+        return self.streams.shape[0] // self.n_planes
 
     @property
     def compressed_size(self) -> int:
@@ -228,6 +283,7 @@ class Alc3Codec:
         *,
         s_seg: int = DEFAULT_S_SEG,
         rdo: bool = False,
+        deep: bool | None = None,
     ):
         if s_seg % 8:
             raise ValueError(f"s_seg must be a multiple of 8, got {s_seg}")
@@ -241,6 +297,12 @@ class Alc3Codec:
         #: opt-in AnalyticalRDO: per-sub-band steps from device moments
         #: (BASELINE config 2; reference manual pipeline src/quant.rs:472-524)
         self.rdo = bool(rdo)
+        #: deep 16-bit symbols (lossless-capable escape coding); defaults
+        #: on at q=100 where the u8 zigzag wrap would corrupt large
+        #: coefficients (reference limit src/quant.rs:558-559).
+        self.deep = (self.quality >= 100) if deep is None else bool(deep)
+        if self.rdo and self.deep:
+            raise ValueError("rdo and deep modes are mutually exclusive")
 
     # ── device path (HBM-resident, zero host traffic) ───────────
 
@@ -280,6 +342,20 @@ class Alc3Codec:
                 w, h, t, self.wavelet_type, int(steps.min()), self.s_seg,
                 streams, counts, hists, band_steps=steps,
             )
+        if self.deep:
+            streams, counts, hists = _encode_chunk_deep(
+                jnp.asarray(rgb),
+                jnp.int32(self.step),
+                jnp.int32(self.step),
+                wavelet_type=self.wavelet_type,
+                padded=padded,
+                s_seg=self.s_seg,
+                v_seg=v_seg,
+            )
+            return DeviceChunk(
+                w, h, t, self.wavelet_type, self.step, self.s_seg,
+                streams, counts, hists, deep=True,
+            )
         streams, counts, hists = _encode_chunk(
             jnp.asarray(rgb),
             jnp.int32(self.step),
@@ -310,6 +386,14 @@ class Alc3Codec:
             )
             return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
         steps = jnp.full((3,), chunk.quant_step, jnp.int32)
+        if chunk.deep:
+            rgb = _decode_chunk_deep(
+                chunk.streams, chunk.counts, chunk.hists, steps,
+                wavelet_type=chunk.wavelet_type, dims=(w, h, t),
+                padded=padded, s_seg=chunk.s_seg,
+                v_seg=_pick_v_seg(chunk.n_segments), exact=exact,
+            )
+            return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
         rgb = _decode_chunk(
             chunk.streams, chunk.counts, chunk.hists, steps,
             wavelet_type=chunk.wavelet_type, dims=(w, h, t), padded=padded,
@@ -342,11 +426,13 @@ class Alc3Codec:
         payload = bytearray()
         for ck in chunks:
             counts = np.asarray(ck.counts).astype(np.int64)
-            streams = np.asarray(ck.streams)  # (3*nseg, w_rows, 128) int32
+            streams = np.asarray(ck.streams)  # (planes*nseg, w_rows, 128)
             n_seg = ck.n_segments
             hists = np.asarray(ck.hists).astype(np.uint32)
-            buf.append(_FLAG_RDO if ck.band_steps is not None else 0)
-            for ch in range(3):
+            flags = _FLAG_RDO if ck.band_steps is not None else 0
+            flags |= _FLAG_DEEP if ck.deep else 0
+            buf.append(flags)
+            for ch in range(ck.n_planes):
                 ch_counts = counts[ch * n_seg : (ch + 1) * n_seg]
                 buf += ChannelHeader(
                     compressed_len=int(ch_counts.sum()) * 2,
@@ -393,19 +479,23 @@ class Alc3Codec:
         w_rows = stream_rows(s_seg)
 
         off = 30
-        metas = []  # (step, hists, counts, band_steps|None) per chunk
+        metas = []  # (step, hists, counts, band_steps|None, deep) per chunk
         for _ in range(n_chunks):
             if off + 1 > len(data):
                 raise InvalidBitstream("truncated ALC3 chunk flags")
             flags = data[off]
             off += 1
-            hists = np.zeros((3, 256), np.uint32)
-            counts = np.zeros((3, n_seg), np.int64)
+            deep = bool(flags & _FLAG_DEEP)
+            n_planes = 6 if deep else 3
+            hists = np.zeros((n_planes, 256), np.uint32)
+            counts = np.zeros((n_planes, n_seg), np.int64)
             band_steps = (
                 np.zeros((3, 8), np.int32) if flags & _FLAG_RDO else None
             )
+            if band_steps is not None and deep:
+                raise InvalidBitstream("rdo and deep flags are exclusive")
             step = 1
-            for ch in range(3):
+            for ch in range(n_planes):
                 extra = 32 if band_steps is not None else 0
                 if off + 1040 + 4 * n_seg + extra > len(data):
                     raise InvalidBitstream("truncated ALC3 header section")
@@ -426,13 +516,14 @@ class Alc3Codec:
                     raise InvalidBitstream("segment counts disagree with header")
                 hists[ch] = hdr.histogram
                 step = hdr.quant_step
-            metas.append((step, hists, counts, band_steps))
+            metas.append((step, hists, counts, band_steps, deep))
 
         chunks = []
         cap = segment_cap = w_rows * 128
-        for step, hists, counts, band_steps in metas:
+        for step, hists, counts, band_steps, deep in metas:
+            n_planes = 6 if deep else 3
             flat_counts = counts.reshape(-1)
-            streams = np.zeros((3 * n_seg, segment_cap), np.int32)
+            streams = np.zeros((n_planes * n_seg, segment_cap), np.int32)
             for i, cnt in enumerate(flat_counts):
                 end = off + 2 * int(cnt)
                 if end > len(data):
@@ -446,10 +537,11 @@ class Alc3Codec:
             chunks.append(
                 DeviceChunk(
                     w, h, f, wavelet_type, int(step), int(s_seg),
-                    jnp.asarray(streams.reshape(3 * n_seg, w_rows, 128)),
+                    jnp.asarray(streams.reshape(n_planes * n_seg, w_rows, 128)),
                     jnp.asarray(flat_counts.astype(np.int32)),
                     jnp.asarray(hists),
                     band_steps=band_steps,
+                    deep=deep,
                 )
             )
         # recover quality from the step map step = max(64 - q*63/100, 1)
@@ -459,6 +551,7 @@ class Alc3Codec:
             (q for q in range(100, -1, -1) if quality_to_step(q) == step0), 90
         )
         rdo = bool(metas) and metas[0][3] is not None
+        deep0 = bool(metas) and metas[0][4]
         codec = cls(quality=quality, wavelet=wavelet_type, s_seg=int(s_seg),
-                    rdo=rdo)
+                    rdo=rdo, deep=deep0)
         return codec, chunks

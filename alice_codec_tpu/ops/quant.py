@@ -39,6 +39,8 @@ __all__ = [
     "dequantize",
     "to_symbols",
     "from_symbols",
+    "to_symbols16",
+    "from_symbols16",
     "build_histogram",
     "band_broadcast",
     "quantize_bands",
@@ -90,6 +92,23 @@ def to_symbols(coeffs: jnp.ndarray) -> jnp.ndarray:
 
 def from_symbols(symbols: jnp.ndarray) -> jnp.ndarray:
     """Inverse zigzag: 0→0, odd s→(s+1)/2, even s→-(s/2) (src/quant.rs:572-590)."""
+    s = symbols.astype(jnp.int32)
+    return jnp.where(s % 2 == 1, (s + 1) // 2, -(s // 2))
+
+
+def to_symbols16(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """16-bit zigzag (ALC3 deep mode): the same mapping as
+    :func:`to_symbols` but without the reference's u8 wrap, so any
+    |q| ≤ 32767 survives — the escape mechanism that makes q=100
+    end-to-end lossless on arbitrary content (the reference wraps at
+    |q| > 127, src/quant.rs:558-559).  Returns int32 in [0, 65535]."""
+    c = coeffs.astype(jnp.int32)
+    s = jnp.where(c > 0, 2 * c - 1, -2 * c)
+    return s & 0xFFFF
+
+
+def from_symbols16(symbols: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`to_symbols16`."""
     s = symbols.astype(jnp.int32)
     return jnp.where(s % 2 == 1, (s + 1) // 2, -(s // 2))
 

@@ -168,6 +168,58 @@ def decode_device(
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
 
 
+@partial(jax.jit, static_argnames=("wavelet_type", "padded"))
+def encode_deep_device(
+    rgb: jnp.ndarray,
+    step: jnp.ndarray,
+    dead_zone: jnp.ndarray,
+    *,
+    wavelet_type: WaveletType,
+    padded: tuple[int, int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Deep (16-bit symbol) encode stage — ALC3's escape mechanism.
+
+    Quantized coefficients map through the UNWRAPPED 16-bit zigzag and
+    split into lo/hi byte planes, each with its own histogram: returns
+    ``(planes (6, P) uint8, hists (6, 256) uint32)`` in plane order
+    Y-lo, Y-hi, Co-lo, Co-hi, Cg-lo, Cg-hi.  With q=100 (step=1) and the
+    exact-undo inverse this is end-to-end lossless for any input — the
+    u8 path wraps at |q| > 127 (reference limit src/quant.rs:558-559);
+    the hi plane is near-constant zero on lossy content, so its rANS
+    cost is a few bits per segment.
+    """
+    pw, ph, pf = padded
+    coeffs = _transform(rgb, wavelet_type, padded)
+    qcoeffs = quant.quantize(coeffs, step, dead_zone)
+    s16 = quant.to_symbols16(qcoeffs).reshape(3, pf * ph * pw)
+    planes = jnp.stack([s16 & 255, s16 >> 8], axis=1)  # (3, 2, P)
+    planes = planes.reshape(6, pf * ph * pw).astype(jnp.uint8)
+    hists = jax.vmap(quant.build_histogram)(planes)
+    return planes, hists
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
+def decode_deep_device(
+    planes: jnp.ndarray,
+    step: jnp.ndarray,
+    *,
+    wavelet_type: WaveletType,
+    dims: tuple[int, int, int],
+    padded: tuple[int, int, int],
+    exact: bool = False,
+) -> jnp.ndarray:
+    """Inverse of :func:`encode_deep_device`: (6, P) uint8 planes → RGB."""
+    w, h, t = dims
+    pw, ph, pf = padded
+    s16 = planes.reshape(3, 2, pf * ph * pw).astype(jnp.int32)
+    s16 = s16[:, 0] | (s16[:, 1] << 8)
+    qcoeffs = quant.from_symbols16(s16).reshape(3, pf, ph, pw)
+    coeffs = qcoeffs * step.astype(jnp.int32).reshape(3, 1, 1, 1)
+    volume = wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
+    chans = volume[:, :t, :h, :w].astype(jnp.int16)
+    return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
+
+
 @partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
 def decode_bands_device(
     symbols: jnp.ndarray,

@@ -214,6 +214,43 @@ def test_rdo_steps_match_host_composition():
             )
 
 
+def test_deep_lossless_on_noise():
+    """q=100 + deep symbols must be bit-exact on content whose wavelet
+    coefficients exceed the u8 zigzag range (the reference wraps there,
+    src/quant.rs:558-559 — this is ALC3's escape coding)."""
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, size=(4, 16, 16, 3), dtype=np.uint8)
+    codec = Alc3Codec(quality=100, wavelet="cdf53", s_seg=8)
+    assert codec.deep  # auto-enabled at q=100
+    chunk = codec.encode(rgb)
+    assert chunk.deep and chunk.n_planes == 6
+    out = codec.decode(chunk, exact=True, as_numpy=True)
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_deep_container_roundtrip():
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    codec = Alc3Codec(quality=100, wavelet="haar", s_seg=8)
+    chunk = codec.encode(rgb)
+    data = Alc3Codec.to_bytes(chunk)
+    codec2, chunks2 = Alc3Codec.from_bytes(data)
+    assert codec2.deep and chunks2[0].deep
+    out = codec2.decode(chunks2[0], exact=True, as_numpy=True)
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_deep_mode_opt_in_lossy():
+    """deep=True works at lossy qualities too (16-bit headroom)."""
+    rgb = _video(2, 8, 8, seed=14)
+    codec = Alc3Codec(quality=80, deep=True, s_seg=8)
+    shallow = Alc3Codec(quality=80, s_seg=8)
+    out_d = codec.decode(codec.encode(rgb), as_numpy=True)
+    out_s = shallow.decode(shallow.encode(rgb), as_numpy=True)
+    # same quantizer → identical reconstruction when no wrap occurs
+    np.testing.assert_array_equal(out_d, out_s)
+
+
 def test_rdo_beats_fixed_step_bpp_at_matched_quality():
     """RDO allocates steps per band, so at the same quality setting the
     stream should not be larger than the fixed-step stream on smooth
