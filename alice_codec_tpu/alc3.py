@@ -171,6 +171,63 @@ def _decode_chunk_deep(streams, counts, hists, steps, *, wavelet_type, dims,
     )
 
 
+def _encode_batch_core(rgb, step, dead_zone, *, wavelet_type, padded,
+                       s_seg, v_seg):
+    """Batched fused encode: (B,T,H,W,3) → one kernel dispatch.
+
+    Chunks are independent, so B chunks are simply 3·B table groups for
+    the segment kernels — the whole batch is ONE pallas grid (plus a
+    vmapped transform), not a Python loop (round-1 weakness #4)."""
+    b = rgb.shape[0]
+    symbols, hists = jax.vmap(
+        lambda r: encode_device(
+            r, step, dead_zone, wavelet_type=wavelet_type, padded=padded
+        )
+    )(rgb)                                    # (B,3,P), (B,3,256)
+    flat_hists = hists.reshape(b * 3, 256)
+    freqs, cums = jax.vmap(freq_table_device)(flat_hists)
+    p = padded[0] * padded[1] * padded[2]
+    n_seg, m = _segment_geometry(p, s_seg, v_seg)
+    sym = symbols.reshape(b * 3, p).astype(jnp.int32)
+    if m != p:
+        sym = jnp.pad(sym, ((0, 0), (0, m - p)))
+    sym = sym.reshape(b * 3 * n_seg, s_seg, NG)
+    streams, counts = encode_words_pallas(sym, freqs, cums, v_seg=v_seg)
+    return streams, counts, hists
+
+
+_encode_chunk_batch = jax.jit(
+    _encode_batch_core,
+    static_argnames=("wavelet_type", "padded", "s_seg", "v_seg"),
+)
+
+
+def _decode_batch_core(streams, counts, hists, steps, *, wavelet_type,
+                       dims, padded, s_seg, v_seg, exact=False):
+    """Batched fused decode: one kernel dispatch + vmapped inverse
+    transform.  ``hists``: (B,3,256); ``steps``: (B,3)."""
+    b = hists.shape[0]
+    freqs, cums = jax.vmap(freq_table_device)(hists.reshape(b * 3, 256))
+    sym = decode_words_pallas(
+        streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
+    )
+    p = padded[0] * padded[1] * padded[2]
+    sym = sym.reshape(b, 3, -1)[:, :, :p].astype(jnp.uint8)
+    return jax.vmap(
+        lambda s, st: decode_device(
+            s, st, st, wavelet_type=wavelet_type, dims=dims, padded=padded,
+            exact=exact,
+        )
+    )(sym, steps)
+
+
+_decode_chunk_batch = jax.jit(
+    _decode_batch_core,
+    static_argnames=("wavelet_type", "dims", "padded", "s_seg", "v_seg",
+                     "exact"),
+)
+
+
 @partial(jax.jit, static_argnames=("padded", "s_seg", "v_seg"))
 def _encode_chunk_rdo(coeffs, steps8, dzs8, *, padded, s_seg, v_seg):
     """RDO phase-2 fused encode: (coeffs, per-band steps) →
@@ -401,6 +458,89 @@ class Alc3Codec:
             exact=exact,
         )
         return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
+
+    # ── batched execution (one dispatch; optional ICI-mesh DP) ──
+
+    def encode_batch(self, rgb_batch, *, mesh=None) -> list[DeviceChunk]:
+        """Encode a (B, T, H, W, 3) uint8 batch in ONE device dispatch.
+
+        All B chunks ride a single segment-kernel grid (B·3 table
+        groups).  With ``mesh`` (a 1-axis jax.sharding.Mesh whose axis
+        divides B) the batch shard_maps over the chunk axis — pure data
+        parallelism on ICI; bitstreams are identical to the unsharded
+        path.  Fixed-step mode only (rdo/deep batches: encode per chunk).
+        """
+        if self.rdo or self.deep:
+            return [self.encode(rgb_batch[i])
+                    for i in range(rgb_batch.shape[0])]
+        if not isinstance(rgb_batch, jax.Array):
+            rgb_batch = np.asarray(rgb_batch, np.uint8)
+        if rgb_batch.ndim != 5 or rgb_batch.shape[-1] != 3:
+            raise InvalidBufferSize(5, rgb_batch.ndim)
+        b, t, h, w, _ = rgb_batch.shape
+        padded = padded_dims(w, h, t)
+        p = int(np.prod(padded))
+        n_seg, _ = _segment_geometry(p, self.s_seg)
+        v_seg = _pick_v_seg(n_seg)
+        kw = dict(wavelet_type=self.wavelet_type, padded=padded,
+                  s_seg=self.s_seg, v_seg=v_seg)
+        step = jnp.int32(self.step)
+        if mesh is None:
+            streams, counts, hists = _encode_chunk_batch(
+                jnp.asarray(rgb_batch), step, step, **kw)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            fn = jax.jit(jax.shard_map(
+                partial(_encode_batch_core, step=step, dead_zone=step, **kw),
+                mesh=mesh,
+                in_specs=P(axis),
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False,  # pallas_call outputs carry no vma info
+            ))
+            streams, counts, hists = fn(jnp.asarray(rgb_batch))
+        rows = 3 * n_seg
+        return [
+            DeviceChunk(
+                w, h, t, self.wavelet_type, self.step, self.s_seg,
+                streams[i * rows : (i + 1) * rows],
+                counts[i * rows : (i + 1) * rows],
+                hists[i],
+            )
+            for i in range(b)
+        ]
+
+    def decode_batch(self, chunks: list[DeviceChunk], *, exact: bool = False,
+                     mesh=None):
+        """Decode same-shape fixed-step chunks in one dispatch → (B, T, H,
+        W, 3) uint8 jax.Array (see :meth:`encode_batch` for ``mesh``)."""
+        if any(c.band_steps is not None or c.deep for c in chunks):
+            return jnp.stack([self.decode(c, exact=exact) for c in chunks])
+        c0 = chunks[0]
+        w, h, t = c0.width, c0.height, c0.frames
+        padded = padded_dims(w, h, t)
+        streams = jnp.concatenate([c.streams for c in chunks], axis=0)
+        counts = jnp.concatenate([c.counts for c in chunks], axis=0)
+        hists = jnp.stack([c.hists for c in chunks])
+        steps = jnp.asarray(
+            [[c.quant_step] * 3 for c in chunks], jnp.int32)
+        kw = dict(wavelet_type=c0.wavelet_type, dims=(w, h, t),
+                  padded=padded, s_seg=c0.s_seg,
+                  v_seg=_pick_v_seg(c0.n_segments), exact=exact)
+        if mesh is None:
+            return _decode_chunk_batch(streams, counts, hists, steps, **kw)
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        fn = jax.jit(jax.shard_map(
+            partial(_decode_batch_core, **kw),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        ))
+        return fn(streams, counts, hists, steps)
 
     # ── container serialization (host interchange) ──────────────
 

@@ -138,6 +138,48 @@ def test_quality_recovered_from_step():
         assert quality_to_step(codec2.quality) == quality_to_step(q)
 
 
+# ── batched + sharded execution ─────────────────────────────────
+
+
+def test_encode_batch_matches_per_chunk():
+    rgbs = np.stack([_video(2, 8, 8, seed=20 + i) for i in range(4)])
+    codec = Alc3Codec(quality=85, s_seg=8)
+    chunks_b = codec.encode_batch(rgbs)
+    assert len(chunks_b) == 4
+    for i in range(4):
+        single = codec.encode(rgbs[i])
+        np.testing.assert_array_equal(
+            np.asarray(chunks_b[i].streams), np.asarray(single.streams))
+        np.testing.assert_array_equal(
+            np.asarray(chunks_b[i].counts), np.asarray(single.counts))
+        np.testing.assert_array_equal(
+            np.asarray(chunks_b[i].hists), np.asarray(single.hists))
+    out = np.asarray(codec.decode_batch(chunks_b))
+    for i in range(4):
+        np.testing.assert_array_equal(
+            out[i], codec.decode(chunks_b[i], as_numpy=True))
+
+
+def test_sharded_batch_bitstreams_identical():
+    """shard_map DP over the 8-device CPU mesh: bitstreams and decodes
+    must be byte-identical to the unsharded path (§2.9 / VERDICT #5)."""
+    from alice_codec_tpu.parallel.mesh import chunk_mesh
+
+    mesh = chunk_mesh(8)
+    rgbs = np.stack([_video(2, 8, 8, seed=30 + i) for i in range(8)])
+    codec = Alc3Codec(quality=80, s_seg=8)
+    plain = codec.encode_batch(rgbs)
+    sharded = codec.encode_batch(rgbs, mesh=mesh)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_array_equal(np.asarray(a.streams),
+                                      np.asarray(b.streams))
+        np.testing.assert_array_equal(np.asarray(a.counts),
+                                      np.asarray(b.counts))
+    out_plain = np.asarray(codec.decode_batch(plain))
+    out_sharded = np.asarray(codec.decode_batch(sharded, mesh=mesh))
+    np.testing.assert_array_equal(out_plain, out_sharded)
+
+
 # ── AnalyticalRDO device path (BASELINE config 2) ───────────────
 
 
