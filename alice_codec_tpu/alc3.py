@@ -54,7 +54,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core import WaveletType, padded_dims, quality_to_step
+from .core import WaveletType, padded_dims, padded_dims_levels, quality_to_step
 from .errors import InvalidBitstream, InvalidBufferSize
 from .ops.pallas.rans3_kernels import (
     DEFAULT_V_SEG,
@@ -114,11 +114,14 @@ def _pick_v_seg(n_seg: int) -> int:
     return v
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded", "s_seg", "v_seg"))
-def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg, v_seg):
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "padded", "s_seg", "v_seg", "levels"))
+def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg,
+                  v_seg, levels=1):
     """Full fused encode: RGB (T,H,W,3) uint8 → (streams, counts, hists)."""
     symbols, hists = encode_device(
-        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded
+        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
+        levels=levels,
     )
     freqs, cums = jax.vmap(freq_table_device)(hists)
     p = padded[0] * padded[1] * padded[2]
@@ -141,12 +144,14 @@ def _segment_symbols(symbols, n_planes, *, padded, s_seg, v_seg):
     return sym.reshape(n_planes * n_seg, s_seg, NG)
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded", "s_seg", "v_seg"))
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "padded", "s_seg", "v_seg", "levels"))
 def _encode_chunk_deep(rgb, step, dead_zone, *, wavelet_type, padded,
-                       s_seg, v_seg):
+                       s_seg, v_seg, levels=1):
     """Deep (16-bit symbol) fused encode: 6 planes, 6 tables."""
     planes, hists = encode_deep_device(
-        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded
+        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
+        levels=levels,
     )
     freqs, cums = jax.vmap(freq_table_device)(hists)
     sym = _segment_symbols(planes, 6, padded=padded, s_seg=s_seg,
@@ -156,9 +161,9 @@ def _encode_chunk_deep(rgb, step, dead_zone, *, wavelet_type, padded,
 
 
 @partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact"))
+    "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact", "levels"))
 def _decode_chunk_deep(streams, counts, hists, steps, *, wavelet_type, dims,
-                       padded, s_seg, v_seg, exact=False):
+                       padded, s_seg, v_seg, exact=False, levels=1):
     freqs, cums = jax.vmap(freq_table_device)(hists)
     sym = decode_words_pallas(
         streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
@@ -167,12 +172,12 @@ def _decode_chunk_deep(streams, counts, hists, steps, *, wavelet_type, dims,
     planes = sym.reshape(6, -1)[:, :p].astype(jnp.uint8)
     return decode_deep_device(
         planes, steps, wavelet_type=wavelet_type, dims=dims,
-        padded=padded, exact=exact,
+        padded=padded, exact=exact, levels=levels,
     )
 
 
 def _encode_batch_core(rgb, step, dead_zone, *, wavelet_type, padded,
-                       s_seg, v_seg):
+                       s_seg, v_seg, levels=1):
     """Batched fused encode: (B,T,H,W,3) → one kernel dispatch.
 
     Chunks are independent, so B chunks are simply 3·B table groups for
@@ -181,7 +186,8 @@ def _encode_batch_core(rgb, step, dead_zone, *, wavelet_type, padded,
     b = rgb.shape[0]
     symbols, hists = jax.vmap(
         lambda r: encode_device(
-            r, step, dead_zone, wavelet_type=wavelet_type, padded=padded
+            r, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
+            levels=levels,
         )
     )(rgb)                                    # (B,3,P), (B,3,256)
     flat_hists = hists.reshape(b * 3, 256)
@@ -198,12 +204,12 @@ def _encode_batch_core(rgb, step, dead_zone, *, wavelet_type, padded,
 
 _encode_chunk_batch = jax.jit(
     _encode_batch_core,
-    static_argnames=("wavelet_type", "padded", "s_seg", "v_seg"),
+    static_argnames=("wavelet_type", "padded", "s_seg", "v_seg", "levels"),
 )
 
 
 def _decode_batch_core(streams, counts, hists, steps, *, wavelet_type,
-                       dims, padded, s_seg, v_seg, exact=False):
+                       dims, padded, s_seg, v_seg, exact=False, levels=1):
     """Batched fused decode: one kernel dispatch + vmapped inverse
     transform.  ``hists``: (B,3,256); ``steps``: (B,3)."""
     b = hists.shape[0]
@@ -216,7 +222,7 @@ def _decode_batch_core(streams, counts, hists, steps, *, wavelet_type,
     return jax.vmap(
         lambda s, st: decode_device(
             s, st, st, wavelet_type=wavelet_type, dims=dims, padded=padded,
-            exact=exact,
+            exact=exact, levels=levels,
         )
     )(sym, steps)
 
@@ -224,7 +230,7 @@ def _decode_batch_core(streams, counts, hists, steps, *, wavelet_type,
 _decode_chunk_batch = jax.jit(
     _decode_batch_core,
     static_argnames=("wavelet_type", "dims", "padded", "s_seg", "v_seg",
-                     "exact"),
+                     "exact", "levels"),
 )
 
 
@@ -255,16 +261,16 @@ def _entropy_decode(streams, counts, hists, *, padded, s_seg, v_seg):
 
 
 @partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact"))
+    "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact", "levels"))
 def _decode_chunk(streams, counts, hists, steps, *, wavelet_type, dims,
-                  padded, s_seg, v_seg, exact=False):
+                  padded, s_seg, v_seg, exact=False, levels=1):
     """Full fused decode: (streams, counts, hists, per-channel steps) →
     RGB (T,H,W,3) uint8."""
     sym = _entropy_decode(streams, counts, hists, padded=padded,
                           s_seg=s_seg, v_seg=v_seg)
     return decode_device(
         sym, steps, steps, wavelet_type=wavelet_type, dims=dims,
-        padded=padded, exact=exact,
+        padded=padded, exact=exact, levels=levels,
     )
 
 
@@ -306,6 +312,8 @@ class DeviceChunk:
     #: deep (16-bit symbol) chunk: 6 lo/hi byte planes instead of 3
     #: channels (ALC3's |q|>127 escape mechanism).
     deep: bool = False
+    #: dyadic decomposition depth (1 = reference-equivalent single level).
+    levels: int = 1
 
     @property
     def n_planes(self) -> int:
@@ -341,9 +349,12 @@ class Alc3Codec:
         s_seg: int = DEFAULT_S_SEG,
         rdo: bool = False,
         deep: bool | None = None,
+        levels: int = 1,
     ):
         if s_seg % 8:
             raise ValueError(f"s_seg must be a multiple of 8, got {s_seg}")
+        if not 1 <= int(levels) <= 4:
+            raise ValueError(f"levels must be in 1..4, got {levels}")
         self.quality = int(quality)
         self.wavelet_type = (
             wavelet if isinstance(wavelet, WaveletType)
@@ -360,6 +371,11 @@ class Alc3Codec:
         self.deep = (self.quality >= 100) if deep is None else bool(deep)
         if self.rdo and self.deep:
             raise ValueError("rdo and deep modes are mutually exclusive")
+        #: dyadic decomposition depth (SURVEY §5.7 extension; reference is
+        #: single-level).  levels>1 re-decomposes the LLL octant.
+        self.levels = int(levels)
+        if self.rdo and self.levels != 1:
+            raise ValueError("rdo supports single-level decomposition only")
 
     # ── device path (HBM-resident, zero host traffic) ───────────
 
@@ -371,7 +387,7 @@ class Alc3Codec:
         if rgb.ndim != 4 or rgb.shape[-1] != 3:
             raise InvalidBufferSize(4, rgb.ndim)
         t, h, w, _ = rgb.shape
-        padded = padded_dims(w, h, t)
+        padded = padded_dims_levels(w, h, t, self.levels)
         p = int(np.prod(padded))
         n_seg, _ = _segment_geometry(p, self.s_seg)
         v_seg = _pick_v_seg(n_seg)
@@ -408,10 +424,11 @@ class Alc3Codec:
                 padded=padded,
                 s_seg=self.s_seg,
                 v_seg=v_seg,
+                levels=self.levels,
             )
             return DeviceChunk(
                 w, h, t, self.wavelet_type, self.step, self.s_seg,
-                streams, counts, hists, deep=True,
+                streams, counts, hists, deep=True, levels=self.levels,
             )
         streams, counts, hists = _encode_chunk(
             jnp.asarray(rgb),
@@ -421,10 +438,11 @@ class Alc3Codec:
             padded=padded,
             s_seg=self.s_seg,
             v_seg=v_seg,
+            levels=self.levels,
         )
         return DeviceChunk(
             w, h, t, self.wavelet_type, self.step, self.s_seg,
-            streams, counts, hists,
+            streams, counts, hists, levels=self.levels,
         )
 
     def decode(self, chunk: DeviceChunk, *, exact: bool = False,
@@ -432,7 +450,7 @@ class Alc3Codec:
         """Decode back to (T, H, W, 3) uint8 — a jax.Array unless
         ``as_numpy``."""
         w, h, t = chunk.width, chunk.height, chunk.frames
-        padded = padded_dims(w, h, t)
+        padded = padded_dims_levels(w, h, t, chunk.levels)
         if chunk.band_steps is not None:
             rgb = _decode_chunk_rdo(
                 chunk.streams, chunk.counts, chunk.hists,
@@ -449,13 +467,14 @@ class Alc3Codec:
                 wavelet_type=chunk.wavelet_type, dims=(w, h, t),
                 padded=padded, s_seg=chunk.s_seg,
                 v_seg=_pick_v_seg(chunk.n_segments), exact=exact,
+                levels=chunk.levels,
             )
             return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
         rgb = _decode_chunk(
             chunk.streams, chunk.counts, chunk.hists, steps,
             wavelet_type=chunk.wavelet_type, dims=(w, h, t), padded=padded,
             s_seg=chunk.s_seg, v_seg=_pick_v_seg(chunk.n_segments),
-            exact=exact,
+            exact=exact, levels=chunk.levels,
         )
         return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
 
@@ -478,12 +497,12 @@ class Alc3Codec:
         if rgb_batch.ndim != 5 or rgb_batch.shape[-1] != 3:
             raise InvalidBufferSize(5, rgb_batch.ndim)
         b, t, h, w, _ = rgb_batch.shape
-        padded = padded_dims(w, h, t)
+        padded = padded_dims_levels(w, h, t, self.levels)
         p = int(np.prod(padded))
         n_seg, _ = _segment_geometry(p, self.s_seg)
         v_seg = _pick_v_seg(n_seg)
         kw = dict(wavelet_type=self.wavelet_type, padded=padded,
-                  s_seg=self.s_seg, v_seg=v_seg)
+                  s_seg=self.s_seg, v_seg=v_seg, levels=self.levels)
         step = jnp.int32(self.step)
         if mesh is None:
             streams, counts, hists = _encode_chunk_batch(
@@ -507,6 +526,7 @@ class Alc3Codec:
                 streams[i * rows : (i + 1) * rows],
                 counts[i * rows : (i + 1) * rows],
                 hists[i],
+                levels=self.levels,
             )
             for i in range(b)
         ]
@@ -519,7 +539,7 @@ class Alc3Codec:
             return jnp.stack([self.decode(c, exact=exact) for c in chunks])
         c0 = chunks[0]
         w, h, t = c0.width, c0.height, c0.frames
-        padded = padded_dims(w, h, t)
+        padded = padded_dims_levels(w, h, t, c0.levels)
         streams = jnp.concatenate([c.streams for c in chunks], axis=0)
         counts = jnp.concatenate([c.counts for c in chunks], axis=0)
         hists = jnp.stack([c.hists for c in chunks])
@@ -527,7 +547,8 @@ class Alc3Codec:
             [[c.quant_step] * 3 for c in chunks], jnp.int32)
         kw = dict(wavelet_type=c0.wavelet_type, dims=(w, h, t),
                   padded=padded, s_seg=c0.s_seg,
-                  v_seg=_pick_v_seg(c0.n_segments), exact=exact)
+                  v_seg=_pick_v_seg(c0.n_segments), exact=exact,
+                  levels=c0.levels)
         if mesh is None:
             return _decode_chunk_batch(streams, counts, hists, steps, **kw)
         from jax.sharding import PartitionSpec as P
@@ -562,7 +583,9 @@ class Alc3Codec:
             "<IIIIII", c0.width, c0.height, c0.frames, len(chunks),
             c0.s_seg, c0.n_segments,
         )
-        p = np.prod(padded_dims(c0.width, c0.height, c0.frames))
+        p = np.prod(
+            padded_dims_levels(c0.width, c0.height, c0.frames, c0.levels)
+        )
         payload = bytearray()
         for ck in chunks:
             counts = np.asarray(ck.counts).astype(np.int64)
@@ -571,6 +594,7 @@ class Alc3Codec:
             hists = np.asarray(ck.hists).astype(np.uint32)
             flags = _FLAG_RDO if ck.band_steps is not None else 0
             flags |= _FLAG_DEEP if ck.deep else 0
+            flags |= (ck.levels - 1) << 2  # bits 2-3: decomposition depth
             buf.append(flags)
             for ch in range(ck.n_planes):
                 ch_counts = counts[ch * n_seg : (ch + 1) * n_seg]
@@ -610,12 +634,6 @@ class Alc3Codec:
         w, h, f, n_chunks, s_seg, n_seg = struct.unpack_from("<IIIIII", data, 6)
         if s_seg % 8 or not s_seg:
             raise InvalidBitstream(f"invalid segment length: {s_seg}")
-        padded = padded_dims(w, h, f)
-        p = int(np.prod(padded))
-        if n_seg * s_seg * NG < p:
-            raise InvalidBitstream(
-                f"{n_seg} segments of {s_seg}x{NG} cannot cover {p} symbols"
-            )
         w_rows = stream_rows(s_seg)
 
         off = 30
@@ -626,6 +644,13 @@ class Alc3Codec:
             flags = data[off]
             off += 1
             deep = bool(flags & _FLAG_DEEP)
+            levels = ((flags >> 2) & 3) + 1
+            p = int(np.prod(padded_dims_levels(w, h, f, levels)))
+            if n_seg * s_seg * NG < p:
+                raise InvalidBitstream(
+                    f"{n_seg} segments of {s_seg}x{NG} cannot cover "
+                    f"{p} symbols"
+                )
             n_planes = 6 if deep else 3
             hists = np.zeros((n_planes, 256), np.uint32)
             counts = np.zeros((n_planes, n_seg), np.int64)
@@ -656,11 +681,11 @@ class Alc3Codec:
                     raise InvalidBitstream("segment counts disagree with header")
                 hists[ch] = hdr.histogram
                 step = hdr.quant_step
-            metas.append((step, hists, counts, band_steps, deep))
+            metas.append((step, hists, counts, band_steps, deep, levels))
 
         chunks = []
         cap = segment_cap = w_rows * 128
-        for step, hists, counts, band_steps, deep in metas:
+        for step, hists, counts, band_steps, deep, levels in metas:
             n_planes = 6 if deep else 3
             flat_counts = counts.reshape(-1)
             streams = np.zeros((n_planes * n_seg, segment_cap), np.int32)
@@ -682,6 +707,7 @@ class Alc3Codec:
                     jnp.asarray(hists),
                     band_steps=band_steps,
                     deep=deep,
+                    levels=levels,
                 )
             )
         # recover quality from the step map step = max(64 - q*63/100, 1)
@@ -692,6 +718,7 @@ class Alc3Codec:
         )
         rdo = bool(metas) and metas[0][3] is not None
         deep0 = bool(metas) and metas[0][4]
+        levels0 = metas[0][5] if metas else 1
         codec = cls(quality=quality, wavelet=wavelet_type, s_seg=int(s_seg),
-                    rdo=rdo, deep=deep0)
+                    rdo=rdo, deep=deep0, levels=levels0)
         return codec, chunks

@@ -131,3 +131,14 @@ def padded_dims(w: int, h: int, f: int) -> tuple[int, int, int]:
     """
     padded_f = 2 if f == 1 else f + (f & 1)
     return w + (w & 1), h + (h & 1), padded_f
+
+
+def padded_dims_levels(w: int, h: int, f: int, levels: int) -> tuple[int, int, int]:
+    """Pad (w, h, f) for an L-level dyadic decomposition: every dim rounds
+    up to a multiple of ``2**levels`` (ALC3 multi-level extension; reduces
+    to :func:`padded_dims` at levels=1)."""
+    if levels <= 1:
+        return padded_dims(w, h, f)
+    m = 1 << levels
+    rup = lambda v: -(-v // m) * m  # noqa: E731
+    return rup(w), rup(h), rup(max(f, 2))

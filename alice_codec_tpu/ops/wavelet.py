@@ -55,6 +55,8 @@ __all__ = [
     "inverse_2d",
     "forward_3d",
     "inverse_3d",
+    "forward_3d_multi",
+    "inverse_3d_multi",
     "Wavelet1D",
     "Wavelet2D",
     "Wavelet3D",
@@ -222,6 +224,50 @@ def inverse_3d(volume: jnp.ndarray, wavelet: WaveletType, *, exact: bool = False
     volume = _apply_axis(volume, -2, inv)
     volume = _apply_axis(volume, -1, inv)
     return volume
+
+
+def forward_3d_multi(
+    volume: jnp.ndarray, wavelet: WaveletType, levels: int = 1
+) -> jnp.ndarray:
+    """Multi-level 3D decomposition (SURVEY §5.7 extension; the reference
+    is single-level, src/wavelet.rs:392-438).
+
+    Level k re-decomposes the previous level's LLL octant in place, the
+    standard dyadic pyramid.  Every dim of ``volume`` must be divisible
+    by ``2**levels``.  ``levels=1`` is exactly :func:`forward_3d`.
+    """
+    if levels < 1:
+        return volume
+    t, h, w = volume.shape[-3:]
+    if any(d % (1 << levels) for d in (t, h, w)):
+        raise ValueError(
+            f"dims {(t, h, w)} not divisible by 2^{levels} for "
+            f"{levels}-level decomposition"
+        )
+    out = forward_3d(volume, wavelet)
+    for k in range(1, levels):
+        st, sh, sw = t >> k, h >> k, w >> k
+        low = out[..., :st, :sh, :sw]
+        out = out.at[..., :st, :sh, :sw].set(forward_3d(low, wavelet))
+    return out
+
+
+def inverse_3d_multi(
+    volume: jnp.ndarray, wavelet: WaveletType, levels: int = 1,
+    *, exact: bool = False,
+) -> jnp.ndarray:
+    """Inverse of :func:`forward_3d_multi` (deepest level first)."""
+    if levels < 1:
+        return volume
+    t, h, w = volume.shape[-3:]
+    out = volume
+    for k in range(levels - 1, 0, -1):
+        st, sh, sw = t >> k, h >> k, w >> k
+        low = out[..., :st, :sh, :sw]
+        out = out.at[..., :st, :sh, :sw].set(
+            inverse_3d(low, wavelet, exact=exact)
+        )
+    return inverse_3d(out, wavelet, exact=exact)
 
 
 def extract_subbands_3d(volume: jnp.ndarray) -> dict:

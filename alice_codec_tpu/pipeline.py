@@ -57,10 +57,12 @@ _CHANNEL_HEADER_BYTES = 1040
 # ── Device programs ─────────────────────────────────────────────
 
 
-def _transform(rgb, wavelet_type, padded):
+def _transform(rgb, wavelet_type, padded, levels=1):
     """color → edge-pad → forward 3D wavelet: uint8 (T,H,W,3) → int32
     coefficients (3, pT, pH, pW) (shared by the fixed-step and RDO
-    encode programs)."""
+    encode programs).  ``levels`` > 1 runs the dyadic multi-level
+    decomposition (SURVEY §5.7 extension); ``padded`` must then be
+    divisible by 2**levels (core.padded_dims_levels)."""
     pw, ph, pf = padded
     t, h, w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
 
@@ -73,7 +75,9 @@ def _transform(rgb, wavelet_type, padded):
         ((0, 0), (0, pf - t), (0, ph - h), (0, pw - w)),
         mode="edge",
     )
-    return wavelet.forward_3d(chans, wavelet_type)
+    if levels == 1:
+        return wavelet.forward_3d(chans, wavelet_type)
+    return wavelet.forward_3d_multi(chans, wavelet_type, levels)
 
 
 def _symbolize(qcoeffs, padded):
@@ -84,7 +88,7 @@ def _symbolize(qcoeffs, padded):
     return symbols, hists
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded"))
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels"))
 def encode_device(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -92,6 +96,7 @@ def encode_device(
     *,
     wavelet_type: WaveletType,
     padded: tuple[int, int, int],
+    levels: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device encode stage.
 
@@ -99,7 +104,7 @@ def encode_device(
     symbols uint8 ``(3, pT*pH*pW)`` (channel order Y, Co, Cg, frame-major
     like the reference) and histograms uint32 ``(3, 256)``.
     """
-    coeffs = _transform(rgb, wavelet_type, padded)
+    coeffs = _transform(rgb, wavelet_type, padded, levels)
     qcoeffs = quant.quantize(coeffs, step, dead_zone)
     return _symbolize(qcoeffs, padded)
 
@@ -139,7 +144,8 @@ def encode_bands_device(
     return _symbolize(qcoeffs, padded)
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "exact", "levels"))
 def decode_device(
     symbols: jnp.ndarray,
     step: jnp.ndarray,
@@ -149,6 +155,7 @@ def decode_device(
     dims: tuple[int, int, int],
     padded: tuple[int, int, int],
     exact: bool = False,
+    levels: int = 1,
 ) -> jnp.ndarray:
     """Fused device decode stage: symbols (3, P) uint8 → RGB (T,H,W,3) uint8.
 
@@ -162,13 +169,18 @@ def decode_device(
     qcoeffs = quant.from_symbols(symbols).reshape(3, pf, ph, pw)
     coeffs = qcoeffs * step.astype(jnp.int32).reshape(3, 1, 1, 1)
     del dead_zone  # stored in headers but unused by dequantization
-    volume = wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
+    volume = (
+        wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
+        if levels == 1
+        else wavelet.inverse_3d_multi(coeffs, wavelet_type, levels,
+                                      exact=exact)
+    )
     # i32 → i16 truncating cast, strip padding (src/pipeline.rs:602-611).
     chans = volume[:, :t, :h, :w].astype(jnp.int16)
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded"))
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels"))
 def encode_deep_device(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -176,6 +188,7 @@ def encode_deep_device(
     *,
     wavelet_type: WaveletType,
     padded: tuple[int, int, int],
+    levels: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Deep (16-bit symbol) encode stage — ALC3's escape mechanism.
 
@@ -189,7 +202,7 @@ def encode_deep_device(
     cost is a few bits per segment.
     """
     pw, ph, pf = padded
-    coeffs = _transform(rgb, wavelet_type, padded)
+    coeffs = _transform(rgb, wavelet_type, padded, levels)
     qcoeffs = quant.quantize(coeffs, step, dead_zone)
     s16 = quant.to_symbols16(qcoeffs).reshape(3, pf * ph * pw)
     planes = jnp.stack([s16 & 255, s16 >> 8], axis=1)  # (3, 2, P)
@@ -198,7 +211,8 @@ def encode_deep_device(
     return planes, hists
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "exact", "levels"))
 def decode_deep_device(
     planes: jnp.ndarray,
     step: jnp.ndarray,
@@ -207,6 +221,7 @@ def decode_deep_device(
     dims: tuple[int, int, int],
     padded: tuple[int, int, int],
     exact: bool = False,
+    levels: int = 1,
 ) -> jnp.ndarray:
     """Inverse of :func:`encode_deep_device`: (6, P) uint8 planes → RGB."""
     w, h, t = dims
@@ -215,7 +230,12 @@ def decode_deep_device(
     s16 = s16[:, 0] | (s16[:, 1] << 8)
     qcoeffs = quant.from_symbols16(s16).reshape(3, pf, ph, pw)
     coeffs = qcoeffs * step.astype(jnp.int32).reshape(3, 1, 1, 1)
-    volume = wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
+    volume = (
+        wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
+        if levels == 1
+        else wavelet.inverse_3d_multi(coeffs, wavelet_type, levels,
+                                      exact=exact)
+    )
     chans = volume[:, :t, :h, :w].astype(jnp.int16)
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
 

@@ -138,6 +138,54 @@ def test_quality_recovered_from_step():
         assert quality_to_step(codec2.quality) == quality_to_step(q)
 
 
+# ── multi-level decomposition (§5.7 extension) ──────────────────
+
+
+@pytest.mark.parametrize("levels", [2, 3])
+def test_multilevel_roundtrip(levels):
+    rgb = _video(4, 16, 16, seed=40)
+    codec = Alc3Codec(quality=90, s_seg=8, levels=levels)
+    chunk = codec.encode(rgb)
+    assert chunk.levels == levels
+    out = codec.decode(chunk, as_numpy=True)
+    assert out.shape == rgb.shape
+    # deeper pyramids on a 16x16x4 toy volume quantize coarser low bands
+    assert _psnr(out, rgb) > 23
+
+
+def test_multilevel_lossless_deep():
+    rng = np.random.default_rng(41)
+    rgb = rng.integers(0, 256, size=(4, 16, 16, 3), dtype=np.uint8)
+    codec = Alc3Codec(quality=100, s_seg=8, levels=2)
+    out = codec.decode(codec.encode(rgb), exact=True, as_numpy=True)
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_multilevel_container_roundtrip():
+    rgb = _video(4, 16, 16, seed=42)
+    codec = Alc3Codec(quality=85, s_seg=8, levels=2)
+    chunk = codec.encode(rgb)
+    codec2, chunks2 = Alc3Codec.from_bytes(Alc3Codec.to_bytes(chunk))
+    assert codec2.levels == 2 and chunks2[0].levels == 2
+    np.testing.assert_array_equal(
+        codec2.decode(chunks2[0], as_numpy=True),
+        codec.decode(chunk, as_numpy=True),
+    )
+
+
+def test_multilevel_improves_smooth_compression():
+    """On smooth content the re-decomposed LLL band should shrink the
+    stream (the point of the pyramid)."""
+    x = np.linspace(0, 200, 32)[None, :, None, None]
+    y = np.linspace(0, 55, 32)[None, None, :, None]
+    rgb = np.broadcast_to(
+        (x + y).astype(np.uint8), (4, 32, 32, 3)
+    ).copy()
+    c1 = Alc3Codec(quality=70, s_seg=8, levels=1).encode(rgb)
+    c2 = Alc3Codec(quality=70, s_seg=8, levels=2).encode(rgb)
+    assert c2.compressed_size < c1.compressed_size
+
+
 # ── batched + sharded execution ─────────────────────────────────
 
 
