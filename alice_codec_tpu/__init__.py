@@ -50,6 +50,7 @@ from .ops.rans import (
     SimdRansDecoder,
 )
 from .ops.wavelet import Wavelet1D, Wavelet2D, Wavelet3D
+from .alc3 import Alc3Codec, DeviceChunk
 from .lossless import (
     LosslessEncoder,
     verify_roundtrip_1d,
@@ -117,9 +118,11 @@ def ycocg_r_to_rgb_numpy(y, co, cg):
 __version__ = VERSION
 
 __all__ = [
+    "Alc3Codec",
     "AnalyticalRDO",
     "CodecError",
     "DEFAULT_CHUNK_SIZE",
+    "DeviceChunk",
     "DimensionOverflow",
     "EncodedChunk",
     "FastQuantizer",
