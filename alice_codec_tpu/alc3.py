@@ -28,7 +28,8 @@ Container layout (little-endian)::
     "ALC3" | version=2 | wavelet u8 | w u32 | h u32 | f u32
     n_chunks u32 | s_seg u32 | n_segments u32
     per chunk × n_chunks:
-        flags u8 (bit 0: per-band RDO steps; bit 1: deep 16-bit symbols)
+        flags u8 (bit 0: RDO steps; bit 1: deep symbols; bits 2-3:
+            decomposition depth − 1; bit 4: sparse significance coding)
         per plane × (6 if deep else 3):
             ChannelHeader (1040 B, identical to .alc; compressed_len bytes)
             n_segments × u32 per-segment word counts
@@ -73,6 +74,9 @@ from .pipeline import (
     encode_bands_device,
     encode_deep_device,
     encode_device,
+    encode_sparse_phase1,
+    sparse_expand,
+    sparse_planes,
     transform_moments_device,
 )
 
@@ -88,6 +92,7 @@ _MAGIC3 = b"ALC3"
 _VERSION3 = 2
 _FLAG_RDO = 1
 _FLAG_DEEP = 2
+_FLAG_SPARSE = 16  # bits 2-3 hold the decomposition depth
 
 
 def _segment_geometry(
@@ -234,6 +239,58 @@ _decode_chunk_batch = jax.jit(
 )
 
 
+@partial(jax.jit, static_argnames=("padded", "s_seg", "kcap", "v_b", "v_v"))
+def _encode_chunk_sparse(symbols, *, padded, s_seg, kcap, v_b, v_v):
+    """Sparse phase 2: bitmap + value planes → two kernel groups.
+
+    ``symbols``: (3, P) uint8 from :func:`encode_sparse_phase1`; ``kcap``
+    is segment-aligned.  Returns (streams, counts, hists) with the
+    bitmap group's 3·nb streams first, then the value group's 3·nv."""
+    bitmaps, values, hists = sparse_planes(symbols, kcap=kcap)
+    freqs, cums = jax.vmap(freq_table_device)(hists)
+    p = padded[0] * padded[1] * padded[2]
+    nb, mb = _segment_geometry(p // 8, s_seg, v_b)
+    bm = bitmaps.astype(jnp.int32)
+    if mb != p // 8:
+        bm = jnp.pad(bm, ((0, 0), (0, mb - p // 8)))
+    streams_b, counts_b = encode_words_pallas(
+        bm.reshape(3 * nb, s_seg, NG), freqs[:3], cums[:3], v_seg=v_b)
+    nv = kcap // (s_seg * NG)
+    streams_v, counts_v = encode_words_pallas(
+        values.astype(jnp.int32).reshape(3 * nv, s_seg, NG),
+        freqs[3:], cums[3:], v_seg=v_v)
+    return (
+        jnp.concatenate([streams_b, streams_v], axis=0),
+        jnp.concatenate([counts_b, counts_v], axis=0),
+        hists,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "s_seg", "kcap", "v_b", "v_v",
+    "exact", "levels"))
+def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
+                         dims, padded, s_seg, kcap, v_b, v_v, exact=False,
+                         levels=1):
+    freqs, cums = jax.vmap(freq_table_device)(hists)
+    p = padded[0] * padded[1] * padded[2]
+    nb, _ = _segment_geometry(p // 8, s_seg, v_b)
+    nv = kcap // (s_seg * NG)
+    bm = decode_words_pallas(
+        streams[: 3 * nb], counts[: 3 * nb], freqs[:3], cums[:3],
+        s_seg=s_seg, v_seg=v_b,
+    ).reshape(3, -1)[:, : p // 8].astype(jnp.uint8)
+    vals = decode_words_pallas(
+        streams[3 * nb :], counts[3 * nb :], freqs[3:], cums[3:],
+        s_seg=s_seg, v_seg=v_v,
+    ).reshape(3, kcap).astype(jnp.uint8)
+    symbols = sparse_expand(bm, vals)
+    return decode_device(
+        symbols, steps, steps, wavelet_type=wavelet_type, dims=dims,
+        padded=padded, exact=exact, levels=levels,
+    )
+
+
 @partial(jax.jit, static_argnames=("padded", "s_seg", "v_seg"))
 def _encode_chunk_rdo(coeffs, steps8, dzs8, *, padded, s_seg, v_seg):
     """RDO phase-2 fused encode: (coeffs, per-band steps) →
@@ -314,6 +371,10 @@ class DeviceChunk:
     deep: bool = False
     #: dyadic decomposition depth (1 = reference-equivalent single level).
     levels: int = 1
+    #: sparse chunk: 3 significance-bitmap planes + 3 compacted value
+    #: planes (kcap = value-plane capacity in symbols, segment-aligned).
+    sparse: bool = False
+    kcap: int = 0
 
     @property
     def n_planes(self) -> int:
@@ -350,6 +411,7 @@ class Alc3Codec:
         rdo: bool = False,
         deep: bool | None = None,
         levels: int = 1,
+        sparse: bool = False,
     ):
         if s_seg % 8:
             raise ValueError(f"s_seg must be a multiple of 8, got {s_seg}")
@@ -376,6 +438,12 @@ class Alc3Codec:
         self.levels = int(levels)
         if self.rdo and self.levels != 1:
             raise ValueError("rdo supports single-level decomposition only")
+        #: sparse significance coding: the entropy kernels see a P/8-byte
+        #: bitmap plus only the nonzero symbols (3-5× fewer symbols at
+        #: production qualities).
+        self.sparse = bool(sparse)
+        if self.sparse and (self.rdo or self.deep):
+            raise ValueError("sparse mode excludes rdo/deep for now")
 
     # ── device path (HBM-resident, zero host traffic) ───────────
 
@@ -414,6 +482,28 @@ class Alc3Codec:
             return DeviceChunk(
                 w, h, t, self.wavelet_type, int(steps.min()), self.s_seg,
                 streams, counts, hists, band_steps=steps,
+            )
+        if self.sparse:
+            symbols, nnz = encode_sparse_phase1(
+                jnp.asarray(rgb), jnp.int32(self.step), jnp.int32(self.step),
+                wavelet_type=self.wavelet_type, padded=padded,
+                levels=self.levels,
+            )
+            seg = self.s_seg * NG
+            need = -(-int(np.asarray(nnz).max()) // seg)  # segments needed
+            nv = 4
+            while nv < need:
+                nv *= 2  # power-of-2 buckets bound the compile count
+            kcap = nv * seg
+            nb, _ = _segment_geometry(p // 8, self.s_seg)
+            streams, counts, hists = _encode_chunk_sparse(
+                symbols, padded=padded, s_seg=self.s_seg, kcap=kcap,
+                v_b=_pick_v_seg(nb), v_v=_pick_v_seg(nv),
+            )
+            return DeviceChunk(
+                w, h, t, self.wavelet_type, self.step, self.s_seg,
+                streams, counts, hists, levels=self.levels, sparse=True,
+                kcap=kcap,
             )
         if self.deep:
             streams, counts, hists = _encode_chunk_deep(
@@ -461,6 +551,18 @@ class Alc3Codec:
             )
             return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
         steps = jnp.full((3,), chunk.quant_step, jnp.int32)
+        if chunk.sparse:
+            p = int(np.prod(padded))
+            nb, _ = _segment_geometry(p // 8, chunk.s_seg)
+            nv = chunk.kcap // (chunk.s_seg * NG)
+            rgb = _decode_chunk_sparse(
+                chunk.streams, chunk.counts, chunk.hists, steps,
+                wavelet_type=chunk.wavelet_type, dims=(w, h, t),
+                padded=padded, s_seg=chunk.s_seg, kcap=chunk.kcap,
+                v_b=_pick_v_seg(nb), v_v=_pick_v_seg(nv), exact=exact,
+                levels=chunk.levels,
+            )
+            return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
         if chunk.deep:
             rgb = _decode_chunk_deep(
                 chunk.streams, chunk.counts, chunk.hists, steps,
@@ -583,26 +685,36 @@ class Alc3Codec:
             "<IIIIII", c0.width, c0.height, c0.frames, len(chunks),
             c0.s_seg, c0.n_segments,
         )
-        p = np.prod(
+        p = int(np.prod(
             padded_dims_levels(c0.width, c0.height, c0.frames, c0.levels)
-        )
+        ))
         payload = bytearray()
         for ck in chunks:
             counts = np.asarray(ck.counts).astype(np.int64)
-            streams = np.asarray(ck.streams)  # (planes*nseg, w_rows, 128)
-            n_seg = ck.n_segments
+            streams = np.asarray(ck.streams)  # (sum(nseg_i), w_rows, 128)
             hists = np.asarray(ck.hists).astype(np.uint32)
             flags = _FLAG_RDO if ck.band_steps is not None else 0
             flags |= _FLAG_DEEP if ck.deep else 0
             flags |= (ck.levels - 1) << 2  # bits 2-3: decomposition depth
+            flags |= _FLAG_SPARSE if ck.sparse else 0
             buf.append(flags)
-            for ch in range(ck.n_planes):
-                ch_counts = counts[ch * n_seg : (ch + 1) * n_seg]
+            # per-plane (segment count, num_symbols): sparse chunks carry
+            # 3 bitmap planes (pb symbols) then 3 value planes (kcap,
+            # recoverable from the value headers' num_symbols field)
+            if ck.sparse:
+                nb, _ = _segment_geometry(p // 8, ck.s_seg)
+                nv = ck.kcap // (ck.s_seg * NG)
+                plane_geom = [(nb, p // 8)] * 3 + [(nv, ck.kcap)] * 3
+            else:
+                plane_geom = [(ck.n_segments, p)] * ck.n_planes
+            row0 = 0
+            for ch, (n_seg, nsym) in enumerate(plane_geom):
+                ch_counts = counts[row0 : row0 + n_seg]
                 buf += ChannelHeader(
                     compressed_len=int(ch_counts.sum()) * 2,
                     quant_step=ck.quant_step,
                     quant_dead_zone=ck.quant_step,
-                    num_symbols=int(p),
+                    num_symbols=int(nsym),
                     histogram=hists[ch],
                 ).to_bytes()
                 buf += ch_counts.astype("<u4").tobytes()
@@ -611,8 +723,9 @@ class Alc3Codec:
                         ck.band_steps[ch], np.int32
                     ).astype("<i4").tobytes()
                 for s in range(n_seg):
-                    words = streams[ch * n_seg + s].reshape(-1)[: ch_counts[s]]
+                    words = streams[row0 + s].reshape(-1)[: ch_counts[s]]
                     payload += words.astype("<u2").tobytes()
+                row0 += n_seg
         return bytes(buf) + bytes(payload)
 
     @classmethod
@@ -637,58 +750,92 @@ class Alc3Codec:
         w_rows = stream_rows(s_seg)
 
         off = 30
-        metas = []  # (step, hists, counts, band_steps|None, deep) per chunk
+        # per chunk: (step, hists, counts list, band_steps|None, deep,
+        #             levels, sparse, kcap)
+        metas = []
         for _ in range(n_chunks):
             if off + 1 > len(data):
                 raise InvalidBitstream("truncated ALC3 chunk flags")
             flags = data[off]
             off += 1
             deep = bool(flags & _FLAG_DEEP)
+            sparse = bool(flags & _FLAG_SPARSE)
             levels = ((flags >> 2) & 3) + 1
             p = int(np.prod(padded_dims_levels(w, h, f, levels)))
-            if n_seg * s_seg * NG < p:
-                raise InvalidBitstream(
-                    f"{n_seg} segments of {s_seg}x{NG} cannot cover "
-                    f"{p} symbols"
-                )
-            n_planes = 6 if deep else 3
-            hists = np.zeros((n_planes, 256), np.uint32)
-            counts = np.zeros((n_planes, n_seg), np.int64)
+            n_planes = 6 if (deep or sparse) else 3
             band_steps = (
                 np.zeros((3, 8), np.int32) if flags & _FLAG_RDO else None
             )
-            if band_steps is not None and deep:
-                raise InvalidBitstream("rdo and deep flags are exclusive")
+            if band_steps is not None and (deep or sparse):
+                raise InvalidBitstream("rdo excludes deep/sparse flags")
+            if deep and sparse:
+                raise InvalidBitstream("deep and sparse flags are exclusive")
+            hists = np.zeros((n_planes, 256), np.uint32)
+            counts_list = []
+            kcap = 0
             step = 1
+            seg = s_seg * NG
             for ch in range(n_planes):
-                extra = 32 if band_steps is not None else 0
-                if off + 1040 + 4 * n_seg + extra > len(data):
+                if off + 1040 > len(data):
                     raise InvalidBitstream("truncated ALC3 header section")
                 hdr = ChannelHeader.from_bytes(data[off : off + 1040])
                 off += 1040
-                counts[ch] = np.frombuffer(data, "<u4", n_seg, off)
-                off += 4 * n_seg
+                if sparse and ch >= 3:
+                    # value plane: capacity comes from its header
+                    if hdr.num_symbols % seg or hdr.num_symbols == 0:
+                        raise InvalidBitstream(
+                            "sparse value capacity not segment-aligned"
+                        )
+                    if kcap and hdr.num_symbols != kcap:
+                        raise InvalidBitstream(
+                            "inconsistent sparse value capacities"
+                        )
+                    kcap = hdr.num_symbols
+                    plane_sym = kcap
+                elif sparse:
+                    plane_sym = p // 8
+                    if hdr.num_symbols != plane_sym:
+                        raise InvalidBitstream(
+                            f"bitmap num_symbols {hdr.num_symbols} != "
+                            f"{plane_sym}"
+                        )
+                else:
+                    plane_sym = p
+                    if hdr.num_symbols != p:
+                        raise InvalidBitstream(
+                            f"num_symbols {hdr.num_symbols} != padded "
+                            f"pixels {p}"
+                        )
+                ns = _segment_geometry(plane_sym, s_seg)[0]
+                if not sparse and ns != n_seg:
+                    raise InvalidBitstream(
+                        f"{n_seg} segments cannot cover {p} symbols"
+                    )
+                extra = 32 if band_steps is not None else 0
+                if off + 4 * ns + extra > len(data):
+                    raise InvalidBitstream("truncated ALC3 header section")
+                ch_counts = np.frombuffer(data, "<u4", ns, off).astype(np.int64)
+                off += 4 * ns
                 if band_steps is not None:
                     band_steps[ch] = np.frombuffer(data, "<i4", 8, off)
                     if (band_steps[ch] < 1).any():
                         raise InvalidBitstream("non-positive RDO band step")
                     off += 32
-                if hdr.num_symbols != p:
-                    raise InvalidBitstream(
-                        f"num_symbols {hdr.num_symbols} != padded pixels {p}"
-                    )
-                if int(counts[ch].sum()) * 2 != hdr.compressed_len:
+                if int(ch_counts.sum()) * 2 != hdr.compressed_len:
                     raise InvalidBitstream("segment counts disagree with header")
                 hists[ch] = hdr.histogram
                 step = hdr.quant_step
-            metas.append((step, hists, counts, band_steps, deep, levels))
+                counts_list.append(ch_counts)
+            metas.append((step, hists, counts_list, band_steps, deep,
+                          levels, sparse, kcap))
 
         chunks = []
         cap = segment_cap = w_rows * 128
-        for step, hists, counts, band_steps, deep, levels in metas:
-            n_planes = 6 if deep else 3
-            flat_counts = counts.reshape(-1)
-            streams = np.zeros((n_planes * n_seg, segment_cap), np.int32)
+        for (step, hists, counts_list, band_steps, deep, levels, sparse,
+             kcap) in metas:
+            flat_counts = np.concatenate(counts_list)
+            n_rows = flat_counts.size
+            streams = np.zeros((n_rows, segment_cap), np.int32)
             for i, cnt in enumerate(flat_counts):
                 end = off + 2 * int(cnt)
                 if end > len(data):
@@ -702,12 +849,14 @@ class Alc3Codec:
             chunks.append(
                 DeviceChunk(
                     w, h, f, wavelet_type, int(step), int(s_seg),
-                    jnp.asarray(streams.reshape(n_planes * n_seg, w_rows, 128)),
+                    jnp.asarray(streams.reshape(n_rows, w_rows, 128)),
                     jnp.asarray(flat_counts.astype(np.int32)),
                     jnp.asarray(hists),
                     band_steps=band_steps,
                     deep=deep,
                     levels=levels,
+                    sparse=sparse,
+                    kcap=kcap,
                 )
             )
         # recover quality from the step map step = max(64 - q*63/100, 1)
@@ -719,6 +868,7 @@ class Alc3Codec:
         rdo = bool(metas) and metas[0][3] is not None
         deep0 = bool(metas) and metas[0][4]
         levels0 = metas[0][5] if metas else 1
+        sparse0 = bool(metas) and metas[0][6]
         codec = cls(quality=quality, wavelet=wavelet_type, s_seg=int(s_seg),
-                    rdo=rdo, deep=deep0, levels=levels0)
+                    rdo=rdo, deep=deep0, levels=levels0, sparse=sparse0)
         return codec, chunks

@@ -261,6 +261,89 @@ def decode_bands_device(
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
 
 
+# ── Sparse (significance-bitmap) stage — ALC3 sparse mode ───────
+#
+# Quantized symbol streams are mostly zero (75-100% per channel at
+# production qualities), yet the entropy kernels pay the same per-symbol
+# cost for a zero as for a value.  Sparse mode splits each channel into
+# a significance BITMAP plane (P/8 bytes, packed LSB-first) and a
+# COMPACTED nonzero-value plane, each rANS-coded with its own table:
+# the kernels then touch ~P/8 + nnz symbols instead of P — a 3-5×
+# entropy-stage speedup at production qualities, at roughly neutral
+# rate (the bitmap carries exactly the information the zero-symbol
+# probability mass carried before).
+
+
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels"))
+def encode_sparse_phase1(
+    rgb: jnp.ndarray,
+    step: jnp.ndarray,
+    dead_zone: jnp.ndarray,
+    *,
+    wavelet_type: WaveletType,
+    padded: tuple[int, int, int],
+    levels: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse phase 1: transform + quantize + zigzag + nonzero counts.
+
+    Returns ``(symbols (3, P) uint8, nnz (3,) int32)``; the symbols stay
+    in HBM and the host only fetches the 12-byte counts to pick the
+    value-plane capacity bucket for phase 2."""
+    pw, ph, pf = padded
+    coeffs = _transform(rgb, wavelet_type, padded, levels)
+    qcoeffs = quant.quantize(coeffs, step, dead_zone)
+    symbols = quant.to_symbols(qcoeffs).reshape(3, pf * ph * pw)
+    nnz = jnp.sum((symbols != 0).astype(jnp.int32), axis=1)
+    return symbols, nnz
+
+
+@partial(jax.jit, static_argnames=("kcap",))
+def sparse_planes(
+    symbols: jnp.ndarray, *, kcap: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sparse phase 2a: significance bitmaps + compacted value planes.
+
+    ``symbols``: (3, P) uint8 with P % 8 == 0; ``kcap``: static value
+    capacity (≥ max per-channel nnz, segment-aligned).  Returns
+    ``(bitmaps (3, P//8) uint8, values (3, kcap) uint8, hists (6, 256))``
+    with hist rows [bm Y, bm Co, bm Cg, val Y, val Co, val Cg]."""
+    p = symbols.shape[1]
+    bits = symbols != 0
+    weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :]
+    bitmaps = jnp.sum(
+        bits.reshape(3, p // 8, 8).astype(jnp.int32) * weights, axis=2
+    ).astype(jnp.uint8)
+    padded_sym = jnp.concatenate(
+        [symbols, jnp.zeros((3, 1), symbols.dtype)], axis=1
+    )
+    values = []
+    for ch in range(3):  # jnp.nonzero has no batching rule; unrolled ×3
+        idx = jnp.nonzero(symbols[ch], size=kcap, fill_value=p)[0]
+        values.append(padded_sym[ch][idx])
+    values = jnp.stack(values)
+    hists = jnp.concatenate([
+        jax.vmap(quant.build_histogram)(bitmaps),
+        jax.vmap(quant.build_histogram)(values),
+    ])
+    return bitmaps, values, hists
+
+
+@jax.jit
+def sparse_expand(bitmaps: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`sparse_planes`: (3, P//8) bitmaps + (3, kcap)
+    values → (3, P) uint8 symbols (rank = prefix sum of significance)."""
+    pb = bitmaps.shape[1]
+    kcap = values.shape[1]
+    bits = (
+        (bitmaps[:, :, None].astype(jnp.int32)
+         >> jnp.arange(8, dtype=jnp.int32)[None, None, :]) & 1
+    ).reshape(3, pb * 8)
+    rank = jnp.cumsum(bits, axis=1) - 1
+    rank = jnp.clip(rank, 0, kcap - 1)
+    gathered = jnp.take_along_axis(values, rank.astype(jnp.int32), axis=1)
+    return jnp.where(bits == 1, gathered, 0).astype(jnp.uint8)
+
+
 # ── Container types ─────────────────────────────────────────────
 
 

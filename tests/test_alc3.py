@@ -138,6 +138,61 @@ def test_quality_recovered_from_step():
         assert quality_to_step(codec2.quality) == quality_to_step(q)
 
 
+# ── sparse significance coding ──────────────────────────────────
+
+
+def test_sparse_matches_dense_reconstruction():
+    """Sparse mode re-codes the SAME symbol stream (bitmap + values), so
+    reconstruction must be bit-identical to the dense path."""
+    rgb = _video(4, 16, 16, seed=50)
+    dense = Alc3Codec(quality=85, s_seg=8)
+    sparse = Alc3Codec(quality=85, s_seg=8, sparse=True)
+    out_d = dense.decode(dense.encode(rgb), as_numpy=True)
+    ck = sparse.encode(rgb)
+    assert ck.sparse and ck.kcap > 0
+    out_s = sparse.decode(ck, as_numpy=True)
+    np.testing.assert_array_equal(out_s, out_d)
+
+
+def test_sparse_container_roundtrip():
+    rgb = _video(4, 16, 16, seed=51)
+    codec = Alc3Codec(quality=80, s_seg=8, sparse=True)
+    chunk = codec.encode(rgb)
+    data = Alc3Codec.to_bytes(chunk)
+    codec2, chunks2 = Alc3Codec.from_bytes(data)
+    assert codec2.sparse and chunks2[0].sparse
+    assert chunks2[0].kcap == chunk.kcap
+    np.testing.assert_array_equal(
+        codec2.decode(chunks2[0], as_numpy=True),
+        codec.decode(chunk, as_numpy=True),
+    )
+
+
+def test_sparse_all_zero_channels():
+    """Constant content quantizes to all-zero symbols; the value planes
+    are pure padding and the roundtrip must still be exact."""
+    rgb = np.full((2, 8, 8, 3), 128, np.uint8)
+    codec = Alc3Codec(quality=50, s_seg=8, sparse=True)
+    out = codec.decode(codec.encode(rgb), as_numpy=True)
+    dense = Alc3Codec(quality=50, s_seg=8)
+    np.testing.assert_array_equal(
+        out, dense.decode(dense.encode(rgb), as_numpy=True))
+
+
+def test_sparse_plane_roundtrip_unit():
+    import jax.numpy as jnp
+
+    from alice_codec_tpu.pipeline import sparse_expand, sparse_planes
+
+    rng = np.random.default_rng(52)
+    sym = np.where(rng.random((3, 1024)) < 0.8, 0,
+                   rng.integers(1, 256, size=(3, 1024))).astype(np.uint8)
+    bm, vals, hists = sparse_planes(jnp.asarray(sym), kcap=1024)
+    back = np.asarray(sparse_expand(bm, vals))
+    np.testing.assert_array_equal(back, sym)
+    assert np.asarray(hists).shape == (6, 256)
+
+
 # ── multi-level decomposition (§5.7 extension) ──────────────────
 
 
