@@ -331,17 +331,29 @@ def sparse_planes(
 @jax.jit
 def sparse_expand(bitmaps: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`sparse_planes`: (3, P//8) bitmaps + (3, kcap)
-    values → (3, P) uint8 symbols (rank = prefix sum of significance)."""
+    values → (3, P) uint8 symbols.
+
+    Two-level rank (per-byte popcount prefix + in-byte bit prefix) keeps
+    the big intermediates in int8: a flat P-length int32 cumsum would
+    peak several GB over HBM at 1080p×64 scale."""
     pb = bitmaps.shape[1]
     kcap = values.shape[1]
+    bm = bitmaps.astype(jnp.int32)
+    # branch-free popcount of a byte (values 0..8)
+    pop = bm - ((bm >> 1) & 0x55)
+    pop = (pop & 0x33) + ((pop >> 2) & 0x33)
+    pop = (pop + (pop >> 4)) & 0x0F                       # (3, Pb) int32
+    base = jnp.cumsum(pop, axis=1) - pop                  # exclusive, (3, Pb)
     bits = (
-        (bitmaps[:, :, None].astype(jnp.int32)
-         >> jnp.arange(8, dtype=jnp.int32)[None, None, :]) & 1
-    ).reshape(3, pb * 8)
-    rank = jnp.cumsum(bits, axis=1) - 1
+        (bitmaps[:, :, None]
+         >> jnp.arange(8, dtype=jnp.uint8)[None, None, :]) & 1
+    ).astype(jnp.int8)                                    # (3, Pb, 8) i8
+    inbyte = jnp.cumsum(bits, axis=2, dtype=jnp.int8) - bits
+    rank = (base[:, :, None] + inbyte.astype(jnp.int32)).reshape(3, pb * 8)
     rank = jnp.clip(rank, 0, kcap - 1)
-    gathered = jnp.take_along_axis(values, rank.astype(jnp.int32), axis=1)
-    return jnp.where(bits == 1, gathered, 0).astype(jnp.uint8)
+    gathered = jnp.take_along_axis(values, rank, axis=1)
+    return jnp.where(bits.reshape(3, pb * 8) == 1, gathered, 0).astype(
+        jnp.uint8)
 
 
 # ── Container types ─────────────────────────────────────────────

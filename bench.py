@@ -211,18 +211,24 @@ def config3_cdf97_sweep():
         out = codec.decode(chunk)
         jax.block_until_ready(out)
         elapsed = time.perf_counter() - start
-        # on-device quality metrics (device f32 kernels; gray plane for SSIM)
-        p = float(psnr_device(rgb.reshape(-1), out.reshape(-1)))
+        bpp = 8.0 * chunk.compressed_size / (t * h * w)
+        del chunk  # free the stream buffers before the metric programs
+        # on-device quality metrics on the center frame (full-chunk f32
+        # temporaries would crowd HBM alongside the stream buffers)
+        mid = t // 2
+        p = float(psnr_device(
+            rgb[mid].reshape(-1), out[mid].reshape(-1)))
         s = float(ssim_device(
-            rgb[0, :, :, 1].astype(jnp.float32),
-            out[0, :, :, 1].astype(jnp.float32),
+            rgb[mid, :, :, 1].astype(jnp.float32),
+            out[mid, :, :, 1].astype(jnp.float32),
         ))
+        del out
         total += elapsed
         rows.append({
             "q": q,
             "psnr_db": round(p, 2),
             "ssim": round(s, 4),
-            "bpp": round(8.0 * chunk.compressed_size / (t * h * w), 4),
+            "bpp": round(bpp, 4),
             "roundtrip_s": round(elapsed, 3),
         })
     # first iteration includes compile; steady-state = rest
