@@ -110,6 +110,21 @@ def _segment_geometry(
     return n_seg, n_seg * seg
 
 
+def _table_hists(hists, nsym: int, *, s_seg: int,
+                 v_seg: int = DEFAULT_V_SEG):
+    """Histograms for table construction: the kernels code the full
+    padded segment grid, so the (m − nsym) padding zeros must carry
+    probability mass — without this every padding zero costs ~7 bits
+    (tables would give symbol 0 only its content frequency).  Applied
+    identically on encode and decode (m is derived from the static
+    geometry), so the STORED histograms remain the true content
+    histograms (.alc parity)."""
+    _, m = _segment_geometry(nsym, s_seg, v_seg)
+    if m == nsym:
+        return hists
+    return hists.at[..., 0].add(jnp.uint32(m - nsym))
+
+
 def _pick_v_seg(n_seg: int) -> int:
     """Largest batching factor ≤ DEFAULT_V_SEG dividing the segment count
     (containers may carry any n_seg; execution adapts)."""
@@ -128,8 +143,9 @@ def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg,
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
         levels=levels,
     )
-    freqs, cums = jax.vmap(freq_table_device)(hists)
     p = padded[0] * padded[1] * padded[2]
+    freqs, cums = jax.vmap(freq_table_device)(
+        _table_hists(hists, p, s_seg=s_seg, v_seg=v_seg))
     n_seg, m = _segment_geometry(p, s_seg, v_seg)
     sym = symbols.astype(jnp.int32)
     if m != p:
@@ -158,7 +174,9 @@ def _encode_chunk_deep(rgb, step, dead_zone, *, wavelet_type, padded,
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
         levels=levels,
     )
-    freqs, cums = jax.vmap(freq_table_device)(hists)
+    p = padded[0] * padded[1] * padded[2]
+    freqs, cums = jax.vmap(freq_table_device)(
+        _table_hists(hists, p, s_seg=s_seg, v_seg=v_seg))
     sym = _segment_symbols(planes, 6, padded=padded, s_seg=s_seg,
                            v_seg=v_seg)
     streams, counts = encode_words_pallas(sym, freqs, cums, v_seg=v_seg)
@@ -169,7 +187,9 @@ def _encode_chunk_deep(rgb, step, dead_zone, *, wavelet_type, padded,
     "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact", "levels"))
 def _decode_chunk_deep(streams, counts, hists, steps, *, wavelet_type, dims,
                        padded, s_seg, v_seg, exact=False, levels=1):
-    freqs, cums = jax.vmap(freq_table_device)(hists)
+    p0 = padded[0] * padded[1] * padded[2]
+    freqs, cums = jax.vmap(freq_table_device)(
+        _table_hists(hists, p0, s_seg=s_seg, v_seg=v_seg))
     sym = decode_words_pallas(
         streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
     )
@@ -195,9 +215,10 @@ def _encode_batch_core(rgb, step, dead_zone, *, wavelet_type, padded,
             levels=levels,
         )
     )(rgb)                                    # (B,3,P), (B,3,256)
-    flat_hists = hists.reshape(b * 3, 256)
-    freqs, cums = jax.vmap(freq_table_device)(flat_hists)
     p = padded[0] * padded[1] * padded[2]
+    flat_hists = _table_hists(
+        hists.reshape(b * 3, 256), p, s_seg=s_seg, v_seg=v_seg)
+    freqs, cums = jax.vmap(freq_table_device)(flat_hists)
     n_seg, m = _segment_geometry(p, s_seg, v_seg)
     sym = symbols.reshape(b * 3, p).astype(jnp.int32)
     if m != p:
@@ -218,7 +239,10 @@ def _decode_batch_core(streams, counts, hists, steps, *, wavelet_type,
     """Batched fused decode: one kernel dispatch + vmapped inverse
     transform.  ``hists``: (B,3,256); ``steps``: (B,3)."""
     b = hists.shape[0]
-    freqs, cums = jax.vmap(freq_table_device)(hists.reshape(b * 3, 256))
+    p0 = padded[0] * padded[1] * padded[2]
+    freqs, cums = jax.vmap(freq_table_device)(
+        _table_hists(hists.reshape(b * 3, 256), p0, s_seg=s_seg,
+                     v_seg=v_seg))
     sym = decode_words_pallas(
         streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
     )
@@ -247,8 +271,12 @@ def _encode_chunk_sparse(symbols, *, padded, s_seg, kcap, v_b, v_v):
     is segment-aligned.  Returns (streams, counts, hists) with the
     bitmap group's 3·nb streams first, then the value group's 3·nv."""
     bitmaps, values, hists = sparse_planes(symbols, kcap=kcap)
-    freqs, cums = jax.vmap(freq_table_device)(hists)
     p = padded[0] * padded[1] * padded[2]
+    thists = jnp.concatenate([
+        _table_hists(hists[:3], p // 8, s_seg=s_seg, v_seg=v_b),
+        hists[3:],  # value planes are coded at exactly kcap symbols
+    ])
+    freqs, cums = jax.vmap(freq_table_device)(thists)
     nb, mb = _segment_geometry(p // 8, s_seg, v_b)
     bm = bitmaps.astype(jnp.int32)
     if mb != p // 8:
@@ -272,8 +300,12 @@ def _encode_chunk_sparse(symbols, *, padded, s_seg, kcap, v_b, v_v):
 def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
                          dims, padded, s_seg, kcap, v_b, v_v, exact=False,
                          levels=1):
-    freqs, cums = jax.vmap(freq_table_device)(hists)
     p = padded[0] * padded[1] * padded[2]
+    thists = jnp.concatenate([
+        _table_hists(hists[:3], p // 8, s_seg=s_seg, v_seg=v_b),
+        hists[3:],
+    ])
+    freqs, cums = jax.vmap(freq_table_device)(thists)
     nb, _ = _segment_geometry(p // 8, s_seg, v_b)
     nv = kcap // (s_seg * NG)
     bm = decode_words_pallas(
@@ -296,8 +328,9 @@ def _encode_chunk_rdo(coeffs, steps8, dzs8, *, padded, s_seg, v_seg):
     """RDO phase-2 fused encode: (coeffs, per-band steps) →
     (streams, counts, hists)."""
     symbols, hists = encode_bands_device(coeffs, steps8, dzs8, padded=padded)
-    freqs, cums = jax.vmap(freq_table_device)(hists)
     p = padded[0] * padded[1] * padded[2]
+    freqs, cums = jax.vmap(freq_table_device)(
+        _table_hists(hists, p, s_seg=s_seg, v_seg=v_seg))
     n_seg, m = _segment_geometry(p, s_seg, v_seg)
     sym = symbols.astype(jnp.int32)
     if m != p:
@@ -309,7 +342,9 @@ def _encode_chunk_rdo(coeffs, steps8, dzs8, *, padded, s_seg, v_seg):
 
 def _entropy_decode(streams, counts, hists, *, padded, s_seg, v_seg):
     """Pallas segment decode → (3, P) uint8 symbols."""
-    freqs, cums = jax.vmap(freq_table_device)(hists)
+    p0 = padded[0] * padded[1] * padded[2]
+    freqs, cums = jax.vmap(freq_table_device)(
+        _table_hists(hists, p0, s_seg=s_seg, v_seg=v_seg))
     sym = decode_words_pallas(
         streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
     )

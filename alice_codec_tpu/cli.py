@@ -2,6 +2,12 @@
 
 Flag-for-flag port of the reference CLI (reference: src/bin/main.rs:22-196):
 raw interleaved RGB in, `.alc` out, with size/ratio reporting on stderr.
+
+Extensions beyond the reference surface:
+
+* ``--format alc3`` selects the flagship TPU-native container (with
+  ``--rdo``, ``--sparse``, ``--deep``, ``--levels N`` mode flags);
+  ``decode``/``info`` sniff the magic, so ALC3 files need no flag.
 """
 
 from __future__ import annotations
@@ -34,6 +40,18 @@ def _build_parser() -> argparse.ArgumentParser:
         "-w", "--wavelet", default="cdf53", choices=["cdf53", "cdf97", "haar"],
         help="Wavelet filter",
     )
+    enc.add_argument(
+        "--format", default="alc", choices=["alc", "alc3"],
+        help="Container: alc (reference-compatible) or alc3 (TPU-native)",
+    )
+    enc.add_argument("--rdo", action="store_true",
+                     help="[alc3] per-sub-band AnalyticalRDO quantization")
+    enc.add_argument("--sparse", action="store_true",
+                     help="[alc3] significance-bitmap sparse coding")
+    enc.add_argument("--deep", action="store_true",
+                     help="[alc3] 16-bit symbols (auto at -q 100)")
+    enc.add_argument("--levels", type=int, default=1,
+                     help="[alc3] dyadic decomposition depth 1-4")
 
     dec = sub.add_parser("decode", help="Decode .alc to raw RGB frames")
     dec.add_argument("input", help="Input .alc file")
@@ -45,13 +63,26 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_encode(args) -> int:
-    """Reference: src/bin/main.rs:107-145."""
+    """Reference: src/bin/main.rs:107-145 (+ the ALC3 format extension)."""
     data = Path(args.input).read_bytes()
-    encoder = FrameEncoder(quality=args.quality, wavelet=args.wavelet)
-    chunk = encoder.encode(
-        np.frombuffer(data, np.uint8), args.width, args.height, args.frames
-    )
-    out = chunk.to_bytes()
+    if args.format == "alc3":
+        from .alc3 import Alc3Codec
+
+        codec = Alc3Codec(
+            quality=args.quality, wavelet=args.wavelet, rdo=args.rdo,
+            sparse=args.sparse, deep=args.deep or None, levels=args.levels,
+        )
+        n = args.width * args.height * args.frames * 3
+        rgb = np.frombuffer(data, np.uint8)[:n].reshape(
+            args.frames, args.height, args.width, 3
+        )
+        out = Alc3Codec.to_bytes(codec.encode(rgb))
+    else:
+        encoder = FrameEncoder(quality=args.quality, wavelet=args.wavelet)
+        chunk = encoder.encode(
+            np.frombuffer(data, np.uint8), args.width, args.height, args.frames
+        )
+        out = chunk.to_bytes()
     Path(args.output).write_bytes(out)
     raw_size = len(data)
     ratio = raw_size / len(out) if out else 0.0
@@ -64,8 +95,25 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
-    """Reference: src/bin/main.rs:147-165."""
-    chunk = EncodedChunk.from_bytes(Path(args.input).read_bytes())
+    """Reference: src/bin/main.rs:147-165 (+ ALC3 magic sniffing)."""
+    data = Path(args.input).read_bytes()
+    if data[:4] == b"ALC3":
+        from .alc3 import Alc3Codec
+
+        codec, chunks = Alc3Codec.from_bytes(data)
+        frames = [
+            codec.decode(c, exact=codec.deep, as_numpy=True) for c in chunks
+        ]
+        rgb = np.concatenate(frames, axis=0)
+        Path(args.output).write_bytes(rgb.tobytes())
+        c0 = chunks[0]
+        print(
+            f"decoded {c0.width}x{c0.height}x{sum(c.frames for c in chunks)}"
+            f" -> {rgb.size} bytes",
+            file=sys.stderr,
+        )
+        return 0
+    chunk = EncodedChunk.from_bytes(data)
     rgb = FrameDecoder().decode(chunk)
     Path(args.output).write_bytes(rgb.tobytes())
     print(
@@ -76,8 +124,27 @@ def cmd_decode(args) -> int:
 
 
 def cmd_info(args) -> int:
-    """Reference: src/bin/main.rs:167-196."""
+    """Reference: src/bin/main.rs:167-196 (+ ALC3 magic sniffing)."""
     data = Path(args.input).read_bytes()
+    if data[:4] == b"ALC3":
+        from .alc3 import Alc3Codec
+
+        codec, chunks = Alc3Codec.from_bytes(data)
+        c0 = chunks[0]
+        raw = c0.width * c0.height * sum(c.frames for c in chunks) * 3
+        payload = sum(c.compressed_size for c in chunks)
+        modes = [m for m, on in [("rdo", codec.rdo), ("deep", codec.deep),
+                                 ("sparse", codec.sparse)] if on]
+        if codec.levels > 1:
+            modes.append(f"levels={codec.levels}")
+        print(f"container:  ALC3 ({len(chunks)} chunk(s)"
+              f"{', ' + ', '.join(modes) if modes else ''})")
+        print(f"dimensions: {c0.width}x{c0.height}x{c0.frames}")
+        print(f"wavelet:    {c0.wavelet_type.name.lower()}")
+        print(f"payload:    {payload} bytes")
+        print(f"file size:  {len(data)} bytes")
+        print(f"ratio:      {raw / payload if payload else 0.0:.2f}x")
+        return 0
     chunk = EncodedChunk.from_bytes(data)
     raw_size = chunk.width * chunk.height * chunk.frames * 3
     payload = chunk.compressed_size

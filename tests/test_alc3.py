@@ -82,10 +82,12 @@ def test_container_roundtrip_and_host_spec_decode():
     hdr_bytes = 30 + 1 + 3 * (1040 + 4 * n_seg)
     payload = np.frombuffer(data[hdr_bytes:], "<u2")
     off = 0
+    seg = 8 * 128
+    m = n_seg * seg  # kernels code the padded grid: padding zeros carry mass
     for ch in range(3):
-        table = FrequencyTable.from_histogram(
-            np.asarray(chunk.hists)[ch], sanitize=True
-        )
+        hist = np.asarray(chunk.hists)[ch].copy()
+        hist[0] += m - p
+        table = FrequencyTable.from_histogram(hist, sanitize=True)
         ch_counts = counts[ch * n_seg : (ch + 1) * n_seg]
         n_words = int(ch_counts.sum())
         syms = decode_channel_words(
