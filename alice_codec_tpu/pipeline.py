@@ -309,9 +309,12 @@ def sparse_planes(
     with hist rows [bm Y, bm Co, bm Cg, val Y, val Co, val Cg]."""
     p = symbols.shape[1]
     bits = symbols != 0
-    weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :]
+    # column-major bit layout: bit j of byte b = pixel j·(P/8) + b, so
+    # every unpack/prefix array keeps its LONG dim trailing — a
+    # (…, P/8, 8) layout would lane-pad the trailing 8 to 128 (16× HBM)
+    weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, :, None]
     bitmaps = jnp.sum(
-        bits.reshape(3, p // 8, 8).astype(jnp.int32) * weights, axis=2
+        bits.reshape(3, 8, p // 8).astype(jnp.int32) * weights, axis=1
     ).astype(jnp.uint8)
     padded_sym = jnp.concatenate(
         [symbols, jnp.zeros((3, 1), symbols.dtype)], axis=1
@@ -333,27 +336,23 @@ def sparse_expand(bitmaps: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`sparse_planes`: (3, P//8) bitmaps + (3, kcap)
     values → (3, P) uint8 symbols.
 
-    Two-level rank (per-byte popcount prefix + in-byte bit prefix) keeps
-    the big intermediates in int8: a flat P-length int32 cumsum would
-    peak several GB over HBM at 1080p×64 scale."""
+    Rank = per-row prefix sums over the (8, P/8) bit rows plus tiny row
+    bases — all big intermediates keep the long dim trailing (see
+    :func:`sparse_planes` on the column-major bit layout)."""
     pb = bitmaps.shape[1]
     kcap = values.shape[1]
-    bm = bitmaps.astype(jnp.int32)
-    # branch-free popcount of a byte (values 0..8)
-    pop = bm - ((bm >> 1) & 0x55)
-    pop = (pop & 0x33) + ((pop >> 2) & 0x33)
-    pop = (pop + (pop >> 4)) & 0x0F                       # (3, Pb) int32
-    base = jnp.cumsum(pop, axis=1) - pop                  # exclusive, (3, Pb)
     bits = (
-        (bitmaps[:, :, None]
-         >> jnp.arange(8, dtype=jnp.uint8)[None, None, :]) & 1
-    ).astype(jnp.int8)                                    # (3, Pb, 8) i8
-    inbyte = jnp.cumsum(bits, axis=2, dtype=jnp.int8) - bits
-    rank = (base[:, :, None] + inbyte.astype(jnp.int32)).reshape(3, pb * 8)
+        (bitmaps[:, None, :].astype(jnp.int32)
+         >> jnp.arange(8, dtype=jnp.int32)[None, :, None]) & 1
+    )                                                     # (3, 8, Pb) i32
+    rowsum = jnp.sum(bits, axis=2)                        # (3, 8)
+    rowbase = jnp.cumsum(rowsum, axis=1) - rowsum         # exclusive
+    prefix = jnp.cumsum(bits, axis=2) - bits              # (3, 8, Pb)
+    rank = (rowbase[:, :, None] + prefix).reshape(3, pb * 8)
     rank = jnp.clip(rank, 0, kcap - 1)
+    flat_bits = bits.reshape(3, pb * 8)
     gathered = jnp.take_along_axis(values, rank, axis=1)
-    return jnp.where(bits.reshape(3, pb * 8) == 1, gathered, 0).astype(
-        jnp.uint8)
+    return jnp.where(flat_bits == 1, gathered, 0).astype(jnp.uint8)
 
 
 # ── Container types ─────────────────────────────────────────────

@@ -305,11 +305,13 @@ def config5_rate_controlled_4k():
         target_bitrate_kbps=60_000, framerate=30.0))
     codecs = {}
 
-    # warmup compile at the starting quality
+    # warmup compile at the starting quality; the compressed_size fetch
+    # also warms the dev rig's first-host-transfer hook, which otherwise
+    # stalls ~90 s inside the timed loop
     q0 = ctrl.recommended_quality
     codecs[q0] = Alc3Codec(quality=q0, wavelet="cdf53")
     c = codecs[q0].encode(rgb)
-    jax.block_until_ready(c.counts)
+    _ = c.compressed_size
 
     qualities = []
     start = time.perf_counter()
