@@ -474,8 +474,12 @@ class Alc3Codec:
         if self.rdo and self.levels != 1:
             raise ValueError("rdo supports single-level decomposition only")
         #: sparse significance coding: the entropy kernels see a P/8-byte
-        #: bitmap plus only the nonzero symbols (3-5× fewer symbols at
-        #: production qualities).
+        #: bitmap plus only the nonzero symbols.  Currently a RATE
+        #: optimization (measured 12.3× vs 10.7× at 1080p q=90): XLA's
+        #: dynamic gather/compaction runs at ~17 Msym/s on TPU, so the
+        #: wall-clock win needs the planned segment-local Pallas
+        #: compact/expand kernels (window one-hot pattern, no serial
+        #: chain) before sparse can be the default fast path.
         self.sparse = bool(sparse)
         if self.sparse and (self.rdo or self.deep):
             raise ValueError("sparse mode excludes rdo/deep for now")
