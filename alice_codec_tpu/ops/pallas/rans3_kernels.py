@@ -72,6 +72,12 @@ NG = 128
 #: default segments processed per grid slot (see module docstring).
 DEFAULT_V_SEG = 4
 
+#: manual step-unroll factor for the per-symbol fori_loops (Mosaic
+#: rejects fori_loop's own ``unroll=``): 2 measured +6% decode on v5e
+#: (880 vs 830 Msym/s) by amortizing the loop carry/branch overhead.
+#: s_seg is always a multiple of 8, so U=2 divides every segment.
+_UNROLL = 2
+
 #: Mosaic scoped-VMEM cap.  The default 16 MB rejects the V-batched blocks
 #: (v_seg·(s_seg + w_rows) rows, double-buffered); the physical VMEM on
 #: every supported TPU generation is ≥ 128 MB, so grant the kernels 96 MB
@@ -244,7 +250,13 @@ def _decode_kernel(v_seg, s_seg, w_rows,
         outs = [one(v, j, xs[v], cs[v]) for v in range(v_seg)]
         return tuple(o[0] for o in outs), tuple(o[1] for o in outs)
 
-    jax.lax.fori_loop(0, s_seg, body, (tuple(states), tuple(curs)))
+    def body_u(j, carry):
+        for u in range(_UNROLL):
+            carry = body(j * _UNROLL + u, carry)
+        return carry
+
+    jax.lax.fori_loop(0, s_seg // _UNROLL, body_u,
+                      (tuple(states), tuple(curs)))
 
 
 @partial(jax.jit, static_argnames=("s_seg", "v_seg", "interpret"))
@@ -371,9 +383,14 @@ def _encode_kernel(v_seg, s_seg, w_rows,
         outs = [one(v, i, xs[v], cs[v]) for v in range(v_seg)]
         return tuple(o[0] for o in outs), tuple(o[1] for o in outs)
 
+    def body_u(i, carry):
+        for u in range(_UNROLL):
+            carry = body(i * _UNROLL + u, carry)
+        return carry
+
     x0 = tuple(jnp.full((1, NG), WORD_L, jnp.uint32) for _ in range(v_seg))
     c0 = tuple(jnp.int32(0) for _ in range(v_seg))
-    xs, curs = jax.lax.fori_loop(0, s_seg, body, (x0, c0))
+    xs, curs = jax.lax.fori_loop(0, s_seg // _UNROLL, body_u, (x0, c0))
 
     # per-segment state flush: hi row then lo row, lane-ascending; counts
     # broadcast into (8,128) sub-blocks (per-slot scalar outputs violate
