@@ -183,18 +183,23 @@ def _encode_chunk_deep(rgb, step, dead_zone, *, wavelet_type, padded,
     return streams, counts, hists
 
 
-@partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact", "levels"))
-def _decode_chunk_deep(streams, counts, hists, steps, *, wavelet_type, dims,
-                       padded, s_seg, v_seg, exact=False, levels=1):
-    p0 = padded[0] * padded[1] * padded[2]
+@partial(jax.jit, static_argnames=("padded", "s_seg", "v_seg"))
+def _entropy_decode_deep_jit(streams, counts, hists, *, padded, s_seg,
+                             v_seg):
+    p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
-        _table_hists(hists, p0, s_seg=s_seg, v_seg=v_seg))
+        _table_hists(hists, p, s_seg=s_seg, v_seg=v_seg))
     sym = decode_words_pallas(
         streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg
     )
-    p = padded[0] * padded[1] * padded[2]
-    planes = sym.reshape(6, -1)[:, :p].astype(jnp.uint8)
+    return sym.reshape(6, -1)[:, :p].astype(jnp.uint8)
+
+
+def _decode_chunk_deep(streams, counts, hists, steps, *, wavelet_type, dims,
+                       padded, s_seg, v_seg, exact=False, levels=1):
+    # two dispatches — see _decode_chunk on the HBM peak
+    planes = _entropy_decode_deep_jit(streams, counts, hists, padded=padded,
+                                      s_seg=s_seg, v_seg=v_seg)
     return decode_deep_device(
         planes, steps, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact, levels=levels,
@@ -340,6 +345,12 @@ def _encode_chunk_rdo(coeffs, steps8, dzs8, *, padded, s_seg, v_seg):
     return streams, counts, hists
 
 
+@partial(jax.jit, static_argnames=("padded", "s_seg", "v_seg"))
+def _entropy_decode_jit(streams, counts, hists, *, padded, s_seg, v_seg):
+    return _entropy_decode(streams, counts, hists, padded=padded,
+                           s_seg=s_seg, v_seg=v_seg)
+
+
 def _entropy_decode(streams, counts, hists, *, padded, s_seg, v_seg):
     """Pallas segment decode → (3, P) uint8 symbols."""
     p0 = padded[0] * padded[1] * padded[2]
@@ -352,14 +363,15 @@ def _entropy_decode(streams, counts, hists, *, padded, s_seg, v_seg):
     return sym.reshape(3, -1)[:, :p].astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "s_seg", "v_seg", "exact", "levels"))
 def _decode_chunk(streams, counts, hists, steps, *, wavelet_type, dims,
                   padded, s_seg, v_seg, exact=False, levels=1):
-    """Full fused decode: (streams, counts, hists, per-channel steps) →
-    RGB (T,H,W,3) uint8."""
-    sym = _entropy_decode(streams, counts, hists, padded=padded,
-                          s_seg=s_seg, v_seg=v_seg)
+    """Full decode in TWO dispatches: Pallas entropy decode, then the
+    inverse-transform program.  A single fused program held the 1.6 GB
+    stream buffers live across the whole inverse-wavelet workspace and
+    sat exactly at the 1080p HBM ceiling (intermittent compile OOMs);
+    the split halves the peak for ~ms of dispatch overhead."""
+    sym = _entropy_decode_jit(streams, counts, hists, padded=padded,
+                              s_seg=s_seg, v_seg=v_seg)
     return decode_device(
         sym, steps, steps, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact, levels=levels,

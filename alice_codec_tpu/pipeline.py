@@ -336,23 +336,24 @@ def sparse_expand(bitmaps: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     """Inverse of :func:`sparse_planes`: (3, P//8) bitmaps + (3, kcap)
     values → (3, P) uint8 symbols.
 
-    Rank = per-row prefix sums over the (8, P/8) bit rows plus tiny row
-    bases — all big intermediates keep the long dim trailing (see
-    :func:`sparse_planes` on the column-major bit layout)."""
+    Strictly 1-D per channel (the batched (3, P) gather/cumsum forms
+    lower measurably slower), but still gather-bound: ~1.3 s per channel
+    at P = 133 M on v5e — the reason sparse mode is a rate optimization
+    until Pallas compact/expand kernels land (ROUND_NOTES).  The
+    column-major bit layout (see :func:`sparse_planes`) makes the flat
+    unpack a free reshape."""
     pb = bitmaps.shape[1]
     kcap = values.shape[1]
-    bits = (
-        (bitmaps[:, None, :].astype(jnp.int32)
-         >> jnp.arange(8, dtype=jnp.int32)[None, :, None]) & 1
-    )                                                     # (3, 8, Pb) i32
-    rowsum = jnp.sum(bits, axis=2)                        # (3, 8)
-    rowbase = jnp.cumsum(rowsum, axis=1) - rowsum         # exclusive
-    prefix = jnp.cumsum(bits, axis=2) - bits              # (3, 8, Pb)
-    rank = (rowbase[:, :, None] + prefix).reshape(3, pb * 8)
-    rank = jnp.clip(rank, 0, kcap - 1)
-    flat_bits = bits.reshape(3, pb * 8)
-    gathered = jnp.take_along_axis(values, rank, axis=1)
-    return jnp.where(flat_bits == 1, gathered, 0).astype(jnp.uint8)
+    shifts = jnp.arange(8, dtype=jnp.int32)[:, None]
+    outs = []
+    for ch in range(3):
+        bits = (
+            ((bitmaps[ch][None, :].astype(jnp.int32) >> shifts) & 1)
+            .reshape(8 * pb)                              # pixel order
+        )
+        rank = jnp.clip(jnp.cumsum(bits) - 1, 0, kcap - 1)
+        outs.append(jnp.where(bits == 1, values[ch][rank], 0))
+    return jnp.stack(outs).astype(jnp.uint8)
 
 
 # ── Container types ─────────────────────────────────────────────

@@ -56,6 +56,15 @@ def _stage(arr):
     return out
 
 
+def _sync(x):
+    """Fetch one element — the only reliable completion barrier on the
+    dev rig (block_until_ready can return before the tunneled runtime
+    finishes executing)."""
+    import numpy as np
+
+    return np.asarray(x.reshape(-1)[0])
+
+
 def _emit(metric, value, unit, vs_baseline, **detail):
     print(json.dumps({
         "metric": metric,
@@ -94,7 +103,7 @@ def north_star():
     print("warmup (compiling)...", file=sys.stderr, flush=True)
     chunk = codec.encode(rgb)
     out = codec.decode(chunk)
-    jax.block_until_ready(out)
+    _sync(out)
     comp = chunk.compressed_size
     print("warmup done", file=sys.stderr, flush=True)
 
@@ -102,7 +111,7 @@ def north_star():
     for _ in range(n_iters):
         c = codec.encode(rgb)
         out = codec.decode(c)
-        jax.block_until_ready(out)
+        _sync(out)
     elapsed = time.perf_counter() - start
 
     mse = float(jnp.mean(
@@ -144,7 +153,7 @@ def config1_haar_lossless():
     for _ in range(n_iters):
         c = codec.encode(rgb)
         o = codec.decode(c, exact=True)
-        jax.block_until_ready(o)
+        _sync(o)
     elapsed = time.perf_counter() - start
     comp = c.compressed_size
     _emit(
@@ -167,13 +176,13 @@ def config2_rdo_encode():
     rgb = _stage(_test_chunk(t, h, w))
     codec = Alc3Codec(quality=90, wavelet="cdf53", rdo=True)
     chunk = codec.encode(rgb)  # compile
-    jax.block_until_ready(chunk.counts)
+    _sync(chunk.counts)
 
     n_iters = 5
     start = time.perf_counter()
     for _ in range(n_iters):
         c = codec.encode(rgb)
-        jax.block_until_ready(c.counts)
+        _sync(c.counts)
     elapsed = time.perf_counter() - start
     fps = n_iters * t / elapsed
     _emit(
@@ -209,7 +218,7 @@ def config3_cdf97_sweep():
         start = time.perf_counter()
         chunk = codec.encode(rgb)
         out = codec.decode(chunk)
-        jax.block_until_ready(out)
+        _sync(out)
         elapsed = time.perf_counter() - start
         bpp = 8.0 * chunk.compressed_size / (t * h * w)
         del chunk  # free the stream buffers before the metric programs
@@ -269,13 +278,13 @@ def config4_alc_batched_decode():
     decoder = BatchFrameDecoder(device_entropy=True)
     stream = encoder.encode(batch)
     out = decoder.decode(stream, as_numpy=False)
-    jax.block_until_ready(out)
+    _sync(out)
 
     n_iters = 3
     start = time.perf_counter()
     for _ in range(n_iters):
         out = decoder.decode(stream, as_numpy=False)
-        jax.block_until_ready(out)
+        _sync(out)
     elapsed = time.perf_counter() - start
     cps = n_iters * b / elapsed
     _emit(
