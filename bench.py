@@ -59,10 +59,12 @@ def _stage(arr):
 def _sync(x):
     """Fetch one element — the only reliable completion barrier on the
     dev rig (block_until_ready can return before the tunneled runtime
-    finishes executing)."""
+    finishes executing).  Scalar indexing, not reshape: a flatten would
+    compile a full-array-output program, which can trip the HBM
+    accounting right after a high-watermark decode."""
     import numpy as np
 
-    return np.asarray(x.reshape(-1)[0])
+    return np.asarray(x[(0,) * x.ndim])
 
 
 def _emit(metric, value, unit, vs_baseline, **detail):
