@@ -6,14 +6,17 @@ byte-lane streams, ALC3 re-architects the wire itself for the TPU
 (ops/rans_word.py): word-rANS segments in emission order, encoded and
 decoded by the Pallas kernels in ops/pallas/rans3_kernels.py.
 
-The entire codec is TWO jitted device programs per chunk shape:
+The codec is a handful of jitted device programs per chunk shape:
 
-* encode: uint8 RGB → color → pad → 3D wavelet → quantize → zigzag →
-  histogram → **on-device frequency tables** → Pallas segment encode.
-  Output (streams, counts, histograms) stays in HBM; nothing touches the
-  host.
-* decode: (streams, counts, histograms) → on-device tables → Pallas
-  segment decode → dequantize → inverse wavelet → color → uint8 RGB.
+* encode (one program): uint8 RGB → color → pad → 3D wavelet → quantize
+  → zigzag → histogram → **on-device frequency tables** → Pallas segment
+  encode.  Output (streams, counts, histograms) stays in HBM; nothing
+  touches the host.
+* decode (two dispatches — the fused form sat at the 1080p HBM ceiling):
+  (streams, counts, histograms) → on-device tables → Pallas segment
+  decode → symbols; then dequantize → inverse wavelet → color → uint8.
+* mode variants (rdo / deep / sparse / multi-level) swap stage programs
+  but keep the same structure.
 
 A roundtrip therefore never leaves the device — the HBM-resident
 ``DeviceChunk`` is the TPU analog of the reference's in-RAM

@@ -82,9 +82,39 @@ def main() -> None:
     results["rans_encode_MBps"] = len(syms) / t_enc / 1e6
     results["rans_decode_MBps"] = len(syms) / t_dec / 1e6
 
+    # ALC3 segment-kernel throughput (Msym/s); small geometry so the CPU
+    # interpret path stays tractable — on TPU raise SSEG/NSEG for the
+    # production numbers (2048/512 measured 880/578 Msym/s on v5e)
+    from alice_codec_tpu.ops.pallas.rans3_kernels import (
+        decode_words_pallas,
+        encode_words_pallas,
+    )
+
+    s_seg = int(os.environ.get("ALC_MICRO_SSEG", "16"))
+    n_seg = int(os.environ.get("ALC_MICRO_NSEG", "4"))
+    n = n_seg * s_seg * 128
+    seg_syms = np.minimum(
+        rng.geometric(0.3, size=n) - 1, 255).astype(np.uint8)
+    seg_hist = np.bincount(seg_syms, minlength=256).astype(np.uint32)
+    seg_table = rans.FrequencyTable.from_histogram(seg_hist, sanitize=True)
+    freqs = jnp.asarray(seg_table.freqs.astype(np.int32)[None])
+    cums = jnp.asarray(seg_table.cums.astype(np.int32)[None])
+    segs = jnp.asarray(seg_syms.reshape(n_seg, s_seg, 128).astype(np.int32))
+
+    t_e = _time(lambda s: encode_words_pallas(s, freqs, cums), segs,
+                iters=3, warmup=1)
+    streams, counts = encode_words_pallas(segs, freqs, cums)
+    t_d = _time(
+        lambda st, c: decode_words_pallas(st, c, freqs, cums, s_seg=s_seg),
+        streams, counts, iters=3, warmup=1)
+    results["alc3_encode_Msym_per_s"] = n / t_e / 1e6
+    results["alc3_decode_Msym_per_s"] = n / t_d / 1e6
+
     for k, v in results.items():
         if k.endswith("MBps"):
             print(f"{k:36s} {v:10.1f} MB/s")
+        elif k.endswith("Msym_per_s"):
+            print(f"{k:36s} {v:10.1f} Msym/s")
         else:
             print(f"{k:36s} {v * 1e6:10.2f} µs")
 
