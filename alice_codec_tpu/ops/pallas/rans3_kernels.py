@@ -73,10 +73,11 @@ NG = 128
 DEFAULT_V_SEG = 4
 
 #: manual step-unroll factor for the per-symbol fori_loops (Mosaic
-#: rejects fori_loop's own ``unroll=``): 2 measured +6% decode on v5e
-#: (880 vs 830 Msym/s) by amortizing the loop carry/branch overhead.
-#: s_seg is always a multiple of 8, so U=2 divides every segment.
-_UNROLL = 2
+#: rejects fori_loop's own ``unroll=``): amortizes the loop carry/branch
+#: overhead — measured on v5e decode: 830 (U=1) → 880 (U=2) → 910 (U=4)
+#: Msym/s.  s_seg is always a multiple of 8, so U=4 divides every
+#: segment; past 4 the compile-time cost outgrows the win.
+_UNROLL = 4
 
 #: Mosaic scoped-VMEM cap.  The default 16 MB rejects the V-batched blocks
 #: (v_seg·(s_seg + w_rows) rows, double-buffered); the physical VMEM on
