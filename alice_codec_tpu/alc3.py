@@ -428,10 +428,13 @@ class DeviceChunk:
 
     @property
     def n_planes(self) -> int:
-        return 6 if self.deep else 3
+        # sparse chunks carry 3 bitmap planes + 3 value planes
+        return 6 if (self.deep or self.sparse) else 3
 
     @property
     def n_segments(self) -> int:
+        """Segments per plane.  Meaningless for sparse chunks (bitmap and
+        value planes have different segment counts — use the geometry)."""
         return self.streams.shape[0] // self.n_planes
 
     @property
@@ -645,7 +648,7 @@ class Alc3Codec:
         parallelism on ICI; bitstreams are identical to the unsharded
         path.  Fixed-step mode only (rdo/deep batches: encode per chunk).
         """
-        if self.rdo or self.deep:
+        if self.rdo or self.deep or self.sparse:
             return [self.encode(rgb_batch[i])
                     for i in range(rgb_batch.shape[0])]
         if not isinstance(rgb_batch, jax.Array):
@@ -691,7 +694,7 @@ class Alc3Codec:
                      mesh=None):
         """Decode same-shape fixed-step chunks in one dispatch → (B, T, H,
         W, 3) uint8 jax.Array (see :meth:`encode_batch` for ``mesh``)."""
-        if any(c.band_steps is not None or c.deep for c in chunks):
+        if any(c.band_steps is not None or c.deep or c.sparse for c in chunks):
             return jnp.stack([self.decode(c, exact=exact) for c in chunks])
         c0 = chunks[0]
         w, h, t = c0.width, c0.height, c0.frames
@@ -731,17 +734,21 @@ class Alc3Codec:
         if not chunks:
             raise InvalidBitstream("cannot serialize an empty chunk list")
         c0 = chunks[0]
+        p = int(np.prod(
+            padded_dims_levels(c0.width, c0.height, c0.frames, c0.levels)
+        ))
         buf = bytearray()
         buf += _MAGIC3
         buf.append(_VERSION3)
         buf.append(int(c0.wavelet_type))
+        # header n_segments is the dense-geometry per-plane count (equal to
+        # n_segments for dense/deep chunks; sparse planes derive their own
+        # counts from geometry, so the header stays well-defined even when
+        # the first chunk is sparse)
         buf += struct.pack(
             "<IIIIII", c0.width, c0.height, c0.frames, len(chunks),
-            c0.s_seg, c0.n_segments,
+            c0.s_seg, _segment_geometry(p, c0.s_seg)[0],
         )
-        p = int(np.prod(
-            padded_dims_levels(c0.width, c0.height, c0.frames, c0.levels)
-        ))
         payload = bytearray()
         for ck in chunks:
             counts = np.asarray(ck.counts).astype(np.int64)
@@ -799,7 +806,7 @@ class Alc3Codec:
             raise InvalidBitstream(f"unsupported ALC3 version: {data[4]}")
         wavelet_type = WaveletType.from_u8(data[5])
         w, h, f, n_chunks, s_seg, n_seg = struct.unpack_from("<IIIIII", data, 6)
-        if s_seg % 8 or not s_seg:
+        if s_seg % 8 or not s_seg or s_seg > (1 << 20):
             raise InvalidBitstream(f"invalid segment length: {s_seg}")
         w_rows = stream_rows(s_seg)
 
@@ -884,10 +891,22 @@ class Alc3Codec:
                           levels, sparse, kcap))
 
         chunks = []
-        cap = segment_cap = w_rows * 128
+        segment_cap = w_rows * 128
         for (step, hists, counts_list, band_steps, deep, levels, sparse,
              kcap) in metas:
             flat_counts = np.concatenate(counts_list)
+            # validate BEFORE allocation/fill: every segment carries at
+            # least the 2·NG state-flush words and at most the stream
+            # block's capacity (a count outside this range can never have
+            # been produced by the encoder)
+            if flat_counts.size == 0:
+                raise InvalidBitstream("ALC3 chunk with no segments")
+            if (flat_counts < 2 * NG).any():
+                raise InvalidBitstream(
+                    "segment word count below the state-flush minimum"
+                )
+            if (flat_counts > segment_cap).any():
+                raise InvalidBitstream("segment word count exceeds capacity")
             n_rows = flat_counts.size
             streams = np.zeros((n_rows, segment_cap), np.int32)
             for i, cnt in enumerate(flat_counts):
@@ -898,8 +917,6 @@ class Alc3Codec:
                     data, "<u2", int(cnt), off
                 )
                 off = end
-            if flat_counts.max(initial=0) > cap:
-                raise InvalidBitstream("segment word count exceeds capacity")
             chunks.append(
                 DeviceChunk(
                     w, h, f, wavelet_type, int(step), int(s_seg),

@@ -18,7 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .errors import CodecError
+from .errors import CodecError, InvalidBufferSize
 from .pipeline import EncodedChunk, FrameDecoder, FrameEncoder
 
 
@@ -73,7 +73,9 @@ def cmd_encode(args) -> int:
             sparse=args.sparse, deep=args.deep or None, levels=args.levels,
         )
         n = args.width * args.height * args.frames * 3
-        rgb = np.frombuffer(data, np.uint8)[:n].reshape(
+        if len(data) != n:
+            raise InvalidBufferSize(n, len(data))
+        rgb = np.frombuffer(data, np.uint8).reshape(
             args.frames, args.height, args.width, 3
         )
         out = Alc3Codec.to_bytes(codec.encode(rgb))

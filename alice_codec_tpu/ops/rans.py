@@ -334,33 +334,38 @@ class InterleavedRansEncoder:
     """
 
     def __init__(self) -> None:
-        self._symbols: list[np.ndarray] = []
-        self._table: FrequencyTable | None = None
+        self._calls: list[tuple[np.ndarray, FrequencyTable]] = []
 
     def encode(self, symbols, table: FrequencyTable) -> None:
-        self._symbols.append(np.ascontiguousarray(symbols, np.uint8))
-        self._table = table
+        """Reference call semantics (src/rans.rs:413-427): each call pushes
+        ITS symbols round-robin (reverse order, this call's table) into the
+        four persistent stream encoders and OVERWRITES the stored per-stream
+        symbol counts with this call's counts — so mixed-table multi-call
+        sequences produce the reference's (surprising) wire bytes exactly."""
+        self._calls.append((np.ascontiguousarray(symbols, np.uint8), table))
 
     def finish(self) -> bytes:
-        syms = (
-            np.concatenate(self._symbols) if self._symbols else np.empty(0, np.uint8)
-        )
-        table = self._table if self._table is not None else FrequencyTable.uniform(256)
-        n = len(syms)
         lib = get_lib()
-        if lib is not None:
+        if len(self._calls) == 1 and lib is not None:
+            # fast native path for the common single-call case (identical
+            # bytes to the spec path below)
+            syms, table = self._calls[0]
+            n = len(syms)
             out = np.empty(2 * n + 64, np.uint8)
             total = lib.alc_rans_encode4(
                 _ctypes_ptr(syms), n, _ctypes_ptr(table.freqs),
                 _ctypes_ptr(table.cums), _ctypes_ptr(out),
             )
             return out[:total].tobytes()
-        # Spec path: four independent LIFO encoders.
+        # Spec path: four persistent LIFO encoders, replaying calls in order.
         encoders = [RansEncoder() for _ in range(4)]
-        for i in range(n - 1, -1, -1):
-            encoders[i % 4].encode(table.get_symbol(int(syms[i])))
+        counts = [0, 0, 0, 0]
+        for syms, table in self._calls:
+            n = len(syms)
+            counts = [(n + 3 - i) // 4 for i in range(4)]
+            for i in range(n - 1, -1, -1):
+                encoders[i % 4].encode(table.get_symbol(int(syms[i])))
         streams = [e.finish() for e in encoders]
-        counts = [(n + 3 - i) // 4 for i in range(4)]
         head = b"".join(len(s).to_bytes(4, "little") for s in streams)
         head += b"".join(c.to_bytes(4, "little") for c in counts)
         return head + b"".join(streams)

@@ -465,7 +465,9 @@ class EncodedChunk:
         )
 
 
-def _decode_channel(stream: bytes, n_symbols: int, histogram) -> np.ndarray:
+def _decode_channel(
+    stream: bytes, n_symbols: int, histogram, *, strict: bool = False
+) -> np.ndarray:
     """rANS-decode one channel, auto-detecting the table variant.
 
     Decode with the reference-exact table first and verify the rANS
@@ -473,6 +475,11 @@ def _decode_channel(stream: bytes, n_symbols: int, histogram) -> np.ndarray:
     state == RANS32_L and every byte consumed — the decoder walks back to
     the encoder's initial state).  On violation the stream was encoded
     with the sanitized table (overflow regime); retry with it.
+
+    ``strict``: when neither table satisfies the invariant the stream is
+    genuinely corrupt; raise ``InvalidBitstream`` instead of returning the
+    garbage symbols (the permissive default mirrors the reference decoder,
+    which performs no such check at all — src/rans.rs:351-381).
     """
     from .ops.rans import RANS32_L
 
@@ -482,12 +489,15 @@ def _decode_channel(stream: bytes, n_symbols: int, histogram) -> np.ndarray:
     if dec.state == RANS32_L and dec.pos == len(stream):
         return syms
     table_s = FrequencyTable.from_histogram(histogram, sanitize=True)
-    if np.array_equal(table_s.freqs, table.freqs):
-        return syms  # no alternate table exists; reference behavior stands
-    dec = RansDecoder(stream)
-    syms_s = dec.decode_n(n_symbols, table_s)
-    if dec.state == RANS32_L and dec.pos == len(stream):
-        return syms_s
+    if not np.array_equal(table_s.freqs, table.freqs):
+        dec = RansDecoder(stream)
+        syms_s = dec.decode_n(n_symbols, table_s)
+        if dec.state == RANS32_L and dec.pos == len(stream):
+            return syms_s
+    if strict:
+        raise InvalidBitstream(
+            "rANS final-state invariant violated: corrupt channel stream"
+        )
     return syms  # neither satisfies the invariant (foreign corrupt stream)
 
 
@@ -615,12 +625,17 @@ class FrameDecoder:
     def __init__(self) -> None:
         pass
 
-    def decode(self, chunk: EncodedChunk, *, exact: bool = False) -> np.ndarray:
+    def decode(
+        self, chunk: EncodedChunk, *, exact: bool = False,
+        strict: bool = False,
+    ) -> np.ndarray:
         """Decode a chunk back to flat interleaved RGB uint8 bytes.
 
         ``exact=True`` uses the exact-undo wavelet inverse (better
         reconstruction); the default matches reference decoder output
-        bit-for-bit.
+        bit-for-bit.  ``strict=True`` raises ``InvalidBitstream`` when a
+        channel stream fails the rANS final-state invariant (detected
+        corruption) instead of returning garbage pixels.
         """
         w, h, f = int(chunk.width), int(chunk.height), int(chunk.frames)
         n_pixels = checked_pixel_count(w, h, f)
@@ -651,7 +666,7 @@ class FrameDecoder:
         def decode_channel(ch_idx: int) -> None:
             symbols[ch_idx] = _decode_channel(
                 streams[ch_idx], padded_pixels,
-                chunk.channel_headers[ch_idx].histogram,
+                chunk.channel_headers[ch_idx].histogram, strict=strict,
             )
 
         if (os.cpu_count() or 1) >= 2:

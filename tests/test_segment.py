@@ -114,3 +114,50 @@ def test_numpy_binding_wrappers():
     cg = np.full((8, 8), -40, np.int16)
     mask2, bbox2, fg2 = segment.segment_chroma_numpy(y, y, cg)
     assert fg2 == 64  # everything foreground
+
+
+def test_vectorized_helpers_match_loop_oracle():
+    """crop/paste/extract vectorized forms vs a transliteration of the
+    reference per-pixel loops (src/segment.rs:107-125, 269-298), including
+    bboxes whose rows run past the frame buffer."""
+    rng = np.random.default_rng(33)
+    w, h = 13, 9
+    frame = rng.integers(0, 256, w * h, dtype=np.uint8)
+    rgbflat = rng.integers(0, 256, w * h * 3 - 5, dtype=np.uint8)  # short buf
+    for bbox in [(0, 0, w, h), (3, 2, 6, 4), (9, 6, 7, 7), (0, 0, 0, 0),
+                 (12, 8, 1, 1), (5, 5, 20, 20)]:
+        bx, by, bw, bh = bbox
+        # crop oracle
+        out = []
+        for row in range(by, by + bh):
+            s = row * w + bx
+            if s + bw <= frame.size:
+                out.append(frame[s : s + bw])
+        want = (np.concatenate(out) if out else np.empty(0, np.uint8))
+        np.testing.assert_array_equal(
+            segment.crop_to_bbox(frame, w, bbox), want)
+        # paste oracle
+        person = rng.integers(0, 256, max(bw * bh - 3, 0), dtype=np.uint8)
+        got = frame.copy()
+        segment.paste_from_bbox(got, w, person, bbox)
+        want_f = frame.copy()
+        src = 0
+        for row in range(by, by + bh):
+            d = row * w + bx
+            if d + bw <= want_f.size and src + bw <= person.size:
+                want_f[d : d + bw] = person[src : src + bw]
+            src += bw
+        np.testing.assert_array_equal(got, want_f)
+        # extract oracle (in-bounds bbox only; mask indexing must not trap)
+        if bx + bw <= w and by + bh <= h:
+            mask = (rng.random((h, w)) > 0.5).astype(np.uint8)
+            res = segment.SegmentResult(mask, bbox, int(mask.sum()), w, h)
+            out = []
+            for row in range(by, by + bh):
+                for col in range(bx, bx + bw):
+                    idx = row * w + col
+                    if mask[row, col] == 1 and idx * 3 + 2 < rgbflat.size:
+                        out.extend(rgbflat[idx * 3 : idx * 3 + 3])
+            np.testing.assert_array_equal(
+                res.extract_person_rgb(rgbflat),
+                np.asarray(out, np.uint8))
