@@ -67,6 +67,14 @@ from .ops.pallas.rans3_kernels import (
     encode_words_pallas,
     stream_rows,
 )
+from .ops.pallas.sparse_kernels import (
+    BLOCK_ROWS,
+    DEFAULT_V_BLK,
+    block_geometry,
+    compact_pallas,
+    expand_pallas,
+    value_row_bases,
+)
 from .ops.quant import AnalyticalRDO
 from .ops.tables_device import freq_table_device
 from .pipeline import (
@@ -78,8 +86,6 @@ from .pipeline import (
     encode_deep_device,
     encode_device,
     encode_sparse_phase1,
-    sparse_expand,
-    sparse_planes,
     transform_moments_device,
 )
 
@@ -92,7 +98,10 @@ __all__ = ["DEFAULT_S_SEG", "DeviceChunk", "Alc3Codec"]
 DEFAULT_S_SEG = 2048
 
 _MAGIC3 = b"ALC3"
-_VERSION3 = 2
+#: v3: sparse planes moved to the block-major layout of
+#: ops/pallas/sparse_kernels.py (bitmap bit order + value order changed);
+#: dense/deep/rdo chunk bytes are unchanged from v2.
+_VERSION3 = 3
 _FLAG_RDO = 1
 _FLAG_DEEP = 2
 _FLAG_SPARSE = 16  # bits 2-3 hold the decomposition depth
@@ -271,27 +280,66 @@ _decode_chunk_batch = jax.jit(
 )
 
 
-@partial(jax.jit, static_argnames=("padded", "s_seg", "kcap", "v_b", "v_v"))
-def _encode_chunk_sparse(symbols, *, padded, s_seg, kcap, v_b, v_v):
-    """Sparse phase 2: bitmap + value planes → two kernel groups.
+def _sparse_pp(p: int) -> int:
+    """Channel symbols padded to whole compaction blocks (the sparse wire
+    codes this padded plane; decoders strip back to ``p``)."""
+    blk = BLOCK_ROWS * NG
+    return -(-p // blk) * blk
 
-    ``symbols``: (3, P) uint8 from :func:`encode_sparse_phase1`; ``kcap``
-    is segment-aligned.  Returns (streams, counts, hists) with the
-    bitmap group's 3·nb streams first, then the value group's 3·nv."""
-    bitmaps, values, hists = sparse_planes(symbols, kcap=kcap)
-    p = padded[0] * padded[1] * padded[2]
+
+def _pick_v_blk(nb: int) -> int:
+    """Compaction blocks per kernel slot: largest factor ≤ DEFAULT_V_BLK
+    dividing the per-channel block count."""
+    v = DEFAULT_V_BLK
+    while nb % v:
+        v //= 2
+    return v
+
+
+@partial(jax.jit, static_argnames=("pp", "s_seg", "kr", "v_b", "v_v"))
+def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, kr, v_b, v_v):
+    """Sparse phase 2: Pallas compact → bitmap + value planes → two
+    entropy kernel groups.
+
+    ``symbols``: (3, pp) uint8 from :func:`encode_sparse_phase1`;
+    ``kr`` = value capacity rows per channel (kcap = kr·128,
+    segment-aligned).  Returns (streams, counts, hists) with the bitmap
+    group's 3·nb streams first, then the value group's 3·nv."""
+    br = BLOCK_ROWS
+    _, nbk = block_geometry(pp, br)
+    blk = br * NG
+    cnt = jnp.sum(
+        (symbols.reshape(3, nbk, blk) != 0).astype(jnp.int32), axis=-1)
+    rows = -(-cnt // NG)
+    vbase = (jnp.cumsum(rows, axis=-1) - rows
+             + jnp.arange(3, dtype=jnp.int32)[:, None] * (kr + br)).reshape(-1)
+    bm, vals = compact_pallas(
+        symbols, vbase, p=pp, kr=kr, br=br, v_blk=_pick_v_blk(nbk))
+    bitmaps = bm.astype(jnp.uint8)
+    ridx = jnp.arange(kr + br, dtype=jnp.int32)
+    vals3 = jnp.where(
+        ridx[None, :, None] < ch_rows[:, None, None],
+        vals.reshape(3, kr + br, NG), 0,
+    )
+    values = vals3[:, :kr, :].reshape(3, kr * NG).astype(jnp.uint8)
+    from .ops.quant import build_histogram
+
+    hists = jnp.concatenate([
+        jax.vmap(build_histogram)(bitmaps),
+        jax.vmap(build_histogram)(values),
+    ])
     thists = jnp.concatenate([
-        _table_hists(hists[:3], p // 8, s_seg=s_seg, v_seg=v_b),
+        _table_hists(hists[:3], pp // 8, s_seg=s_seg, v_seg=v_b),
         hists[3:],  # value planes are coded at exactly kcap symbols
     ])
     freqs, cums = jax.vmap(freq_table_device)(thists)
-    nb, mb = _segment_geometry(p // 8, s_seg, v_b)
-    bm = bitmaps.astype(jnp.int32)
-    if mb != p // 8:
-        bm = jnp.pad(bm, ((0, 0), (0, mb - p // 8)))
+    nb, mb = _segment_geometry(pp // 8, s_seg, v_b)
+    bmseg = bitmaps.astype(jnp.int32)
+    if mb != pp // 8:
+        bmseg = jnp.pad(bmseg, ((0, 0), (0, mb - pp // 8)))
     streams_b, counts_b = encode_words_pallas(
-        bm.reshape(3 * nb, s_seg, NG), freqs[:3], cums[:3], v_seg=v_b)
-    nv = kcap // (s_seg * NG)
+        bmseg.reshape(3 * nb, s_seg, NG), freqs[:3], cums[:3], v_seg=v_b)
+    nv = kr // s_seg
     streams_v, counts_v = encode_words_pallas(
         values.astype(jnp.int32).reshape(3 * nv, s_seg, NG),
         freqs[3:], cums[3:], v_seg=v_v)
@@ -308,23 +356,31 @@ def _encode_chunk_sparse(symbols, *, padded, s_seg, kcap, v_b, v_v):
 def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
                          dims, padded, s_seg, kcap, v_b, v_v, exact=False,
                          levels=1):
+    br = BLOCK_ROWS
     p = padded[0] * padded[1] * padded[2]
+    pp = _sparse_pp(p)
+    kr = kcap // NG
     thists = jnp.concatenate([
-        _table_hists(hists[:3], p // 8, s_seg=s_seg, v_seg=v_b),
+        _table_hists(hists[:3], pp // 8, s_seg=s_seg, v_seg=v_b),
         hists[3:],
     ])
     freqs, cums = jax.vmap(freq_table_device)(thists)
-    nb, _ = _segment_geometry(p // 8, s_seg, v_b)
-    nv = kcap // (s_seg * NG)
+    nb, _ = _segment_geometry(pp // 8, s_seg, v_b)
     bm = decode_words_pallas(
         streams[: 3 * nb], counts[: 3 * nb], freqs[:3], cums[:3],
         s_seg=s_seg, v_seg=v_b,
-    ).reshape(3, -1)[:, : p // 8].astype(jnp.uint8)
+    ).reshape(3, -1)[:, : pp // 8]
     vals = decode_words_pallas(
         streams[3 * nb :], counts[3 * nb :], freqs[3:], cums[3:],
         s_seg=s_seg, v_seg=v_v,
-    ).reshape(3, kcap).astype(jnp.uint8)
-    symbols = sparse_expand(bm, vals)
+    ).reshape(3, kr, NG)
+    vbase, _ = value_row_bases(bm.astype(jnp.uint8), pp, kr + br, br=br)
+    vals = jnp.pad(vals, ((0, 0), (0, br), (0, 0))).reshape(
+        3 * (kr + br), NG)
+    _, nbk = block_geometry(pp, br)
+    symbols = expand_pallas(
+        bm, vals, vbase, p=pp, kr=kr, br=br, v_blk=_pick_v_blk(nbk))
+    symbols = symbols[:, :p].astype(jnp.uint8)
     return decode_device(
         symbols, steps, steps, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact, levels=levels,
@@ -541,26 +597,26 @@ class Alc3Codec:
                 streams, counts, hists, band_steps=steps,
             )
         if self.sparse:
-            symbols, nnz = encode_sparse_phase1(
+            pp = _sparse_pp(p)
+            symbols, ch_rows = encode_sparse_phase1(
                 jnp.asarray(rgb), jnp.int32(self.step), jnp.int32(self.step),
-                wavelet_type=self.wavelet_type, padded=padded,
+                wavelet_type=self.wavelet_type, padded=padded, pp=pp,
                 levels=self.levels,
             )
-            seg = self.s_seg * NG
-            need = -(-int(np.asarray(nnz).max()) // seg)  # segments needed
+            need = int(np.asarray(ch_rows).max())  # value rows needed
             nv = 4
-            while nv < need:
+            while nv * self.s_seg < need:
                 nv *= 2  # power-of-2 buckets bound the compile count
-            kcap = nv * seg
-            nb, _ = _segment_geometry(p // 8, self.s_seg)
+            kr = nv * self.s_seg
+            nb, _ = _segment_geometry(pp // 8, self.s_seg)
             streams, counts, hists = _encode_chunk_sparse(
-                symbols, padded=padded, s_seg=self.s_seg, kcap=kcap,
+                symbols, ch_rows, pp=pp, s_seg=self.s_seg, kr=kr,
                 v_b=_pick_v_seg(nb), v_v=_pick_v_seg(nv),
             )
             return DeviceChunk(
                 w, h, t, self.wavelet_type, self.step, self.s_seg,
                 streams, counts, hists, levels=self.levels, sparse=True,
-                kcap=kcap,
+                kcap=kr * NG,
             )
         if self.deep:
             streams, counts, hists = _encode_chunk_deep(
@@ -610,7 +666,8 @@ class Alc3Codec:
         steps = jnp.full((3,), chunk.quant_step, jnp.int32)
         if chunk.sparse:
             p = int(np.prod(padded))
-            nb, _ = _segment_geometry(p // 8, chunk.s_seg)
+            pp = _sparse_pp(p)
+            nb, _ = _segment_geometry(pp // 8, chunk.s_seg)
             nv = chunk.kcap // (chunk.s_seg * NG)
             rgb = _decode_chunk_sparse(
                 chunk.streams, chunk.counts, chunk.hists, steps,
@@ -763,9 +820,10 @@ class Alc3Codec:
             # 3 bitmap planes (pb symbols) then 3 value planes (kcap,
             # recoverable from the value headers' num_symbols field)
             if ck.sparse:
-                nb, _ = _segment_geometry(p // 8, ck.s_seg)
+                pp = _sparse_pp(p)
+                nb, _ = _segment_geometry(pp // 8, ck.s_seg)
                 nv = ck.kcap // (ck.s_seg * NG)
-                plane_geom = [(nb, p // 8)] * 3 + [(nv, ck.kcap)] * 3
+                plane_geom = [(nb, pp // 8)] * 3 + [(nv, ck.kcap)] * 3
             else:
                 plane_geom = [(ck.n_segments, p)] * ck.n_planes
             row0 = 0
@@ -854,7 +912,7 @@ class Alc3Codec:
                     kcap = hdr.num_symbols
                     plane_sym = kcap
                 elif sparse:
-                    plane_sym = p // 8
+                    plane_sym = _sparse_pp(p) // 8
                     if hdr.num_symbols != plane_sym:
                         raise InvalidBitstream(
                             f"bitmap num_symbols {hdr.num_symbols} != "

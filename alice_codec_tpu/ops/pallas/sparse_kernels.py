@@ -1,0 +1,358 @@
+"""Pallas TPU kernels for ALC3 sparse significance coding (compact/expand).
+
+Round-2 measured XLA's data-dependent gather/compaction at ~17-100 Msym/s
+on TPU (pipeline.py round-2 sparse_expand docstring) — slower end-to-end
+than just entropy-coding the zeros.  These kernels realize the 3-5×
+symbol-reduction of sparse mode as wall-clock by making
+compaction/expansion block-local window ops (the same one-hot machinery
+as the rANS kernels, rans3_kernels.py), pipelined across a block grid.
+
+Sparse plane layout (the v3 sparse wire; executable spec in
+ops/sparse_spec.py):
+
+* A channel's P symbols are viewed as ``Pr = P/128`` lane rows.  The
+  significance **bitmap** packs along SUBLANES: bitmap byte at (row r',
+  lane l) holds bit j = significance of pixel row ``8·r' + j``, lane l —
+  so a kernel unpacks 8 pixel rows with ONE shift+mask op, and the
+  bitmap plane is the (Pr/8, 128) byte array flattened row-major
+  (P/8 entropy symbols per channel, same count as round 2).
+* **Values** are compacted BLOCK-MAJOR: the plane is tiled into blocks of
+  ``BR`` pixel rows; each block's nonzero symbols (pixel order) are
+  appended and zero-padded up to a whole number of 128-lane rows.  Blocks
+  concatenate; the tail is zero-padded to the segment-aligned value
+  capacity ``kcap``.  Row alignment is what makes every kernel window a
+  row-aligned slice — the ≤0.8% extra padding rows buy fully static
+  shapes (the padding symbol 0 carries probability mass like every other
+  padding, see alc3._table_hists).
+
+Block value-row bases are an XLA prepass (popcount + cumsum over the tiny
+(3, nb) count array), so blocks share NO state: the kernels V-batch blocks
+per grid slot exactly like the rANS kernels V-batch segments.  Empty
+8-row tiles (the common case in high sub-bands) skip all scatter/gather
+work via ``pl.when`` — the kernels are content-adaptive.
+
+Mosaic ground rules inherited from rans3_kernels.py: lane-major
+everything, one-hot matmuls instead of vector indexing, bf16-exact MXU
+operands (symbols ≤ 255 and one-hots are exact — no hi/lo split needed
+here), int32 compares.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rans3_kernels import NG, _compiler_params
+
+#: pixel rows per compaction block (BR·128 = 65536 pixels; value scratch =
+#: (BR+8)·512 B ≈ 266 KB of VMEM per v-slot).
+BLOCK_ROWS = 512
+#: blocks processed per grid slot as independent dataflow chains.
+DEFAULT_V_BLK = 2
+
+__all__ = [
+    "BLOCK_ROWS",
+    "block_geometry",
+    "value_row_bases",
+    "compact_pallas",
+    "expand_pallas",
+]
+
+
+def block_geometry(p: int, br: int = BLOCK_ROWS) -> tuple[int, int]:
+    """(pixel rows, blocks) for a channel of ``p`` symbols (``p`` must be
+    a whole number of blocks; alc3 pads the symbol plane up front)."""
+    if p % (NG * 8):
+        raise ValueError(f"channel symbols {p} not a multiple of {NG * 8}")
+    pr = p // NG
+    if pr % br:
+        raise ValueError(f"pixel rows {pr} not a multiple of BR={br}")
+    return pr, pr // br
+
+
+def value_row_bases(bitmaps: jnp.ndarray, p: int, kr_stride: int,
+                    br: int = BLOCK_ROWS):
+    """XLA prepass: per-block value row bases from the packed bitmaps.
+
+    ``bitmaps``: (3, P/8) uint8 (row-major over the (Pr/8, 128) byte
+    array).  Returns ``(vbase (3·nb,) int32 — ABSOLUTE row bases into the
+    flattened (3·kr_stride, 128) values array, ch_rows (3,) int32 — total
+    value rows per channel)``.
+    """
+    pr, nb = block_geometry(p, br)
+    counts = jax.lax.population_count(
+        bitmaps.astype(jnp.uint8).reshape(3, nb, (br // 8) * NG)
+    ).astype(jnp.int32).sum(axis=-1)                       # (3, nb)
+    rows = -(-counts // NG)                                # ceil → block rows
+    ch_rows = rows.sum(axis=-1)                            # (3,)
+    excl = jnp.cumsum(rows, axis=-1) - rows                # exclusive scan
+    vbase = excl + jnp.arange(3, dtype=jnp.int32)[:, None] * kr_stride
+    return vbase.reshape(-1).astype(jnp.int32), ch_rows
+
+
+def _iotas():
+    iota8_0 = jax.lax.broadcasted_iota(jnp.int32, (8, NG), 0)
+    iota256_0 = jax.lax.broadcasted_iota(jnp.int32, (256, NG), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 1)
+    ltT = (i < j).astype(jnp.bfloat16)
+    lt8 = (i[:8, :8] > j[:8, :8]).astype(jnp.float32)  # strict lower tri (8,8)
+    return iota8_0, iota256_0, ltT, lt8
+
+
+def _row_ranks(bits8, ltT, lt8):
+    """Per-row machinery for an (8, NG) bit tile: returns ``(rank (8,NG)
+    int32 — exclusive prefix within each row, off (8,1) int32 — exclusive
+    prefix of full-row counts)``."""
+    b = bits8.astype(jnp.bfloat16)
+    rank = jax.lax.dot_general(
+        b, ltT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # (8, NG)
+    cnt = jnp.sum(b.astype(jnp.float32), axis=1, keepdims=True)   # (8,1)
+    off = jax.lax.dot_general(
+        lt8, cnt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # (8,1) exclusive
+    return rank.astype(jnp.int32), off.astype(jnp.int32)
+
+
+# ── compact (encode side) ───────────────────────────────────────
+
+
+def _compact_kernel(v_blk, br, kr_stride,
+                    vbase_ref, sym_ref,
+                    bm_ref, vals_hbm, scratch, sems):
+    iota8_0, iota256_0, ltT, lt8 = _iotas()
+    slot = pl.program_id(0)
+    bm8 = br // 8
+
+    for v in range(v_blk):
+        scratch[pl.ds(v * (br + 8), br + 8), :] = jnp.zeros(
+            (br + 8, NG), jnp.int32)
+
+        def tile(g, cur, v=v):
+            rows = sym_ref[pl.ds(v * br + 8 * g, 8), :]
+            bits = (rows != 0).astype(jnp.int32)               # (8,NG)
+            # bitmap byte row: bit j = pixel row 8g+j
+            byte = jnp.sum(bits << iota8_0, axis=0, keepdims=True)
+            bm_ref[pl.ds(v * bm8 + g, 1), :] = byte
+            tile_cnt = jnp.sum(bits)
+
+            @pl.when(tile_cnt > 0)
+            def _scatter():
+                rank, off = _row_ranks(bits, ltT, lt8)
+                for j in range(8):
+                    cur_j = cur + off[j, 0]
+                    mask = bits[j : j + 1, :] == 1
+                    word = jnp.where(mask, rows[j : j + 1, :], 0)
+                    # 2-row window scatter at cur_j + rank (the rans3
+                    # _win_append contraction, u8-exact single dot)
+                    r0 = cur_j >> 7
+                    sh = cur_j & 127
+                    pp = jnp.where(mask, rank[j : j + 1, :] + sh, -1)
+                    oh = (pp == iota256_0).astype(jnp.bfloat16)
+                    c = jax.lax.dot_general(
+                        word.astype(jnp.bfloat16), oh,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # (1,256)
+                    two = scratch[pl.ds(v * (br + 8) + r0, 2), :]
+                    scratch[pl.ds(v * (br + 8) + r0, 2), :] = (
+                        two + jnp.concatenate(
+                            [c[:, :NG], c[:, NG:]], axis=0).astype(jnp.int32)
+                    )
+            return cur + tile_cnt
+
+        jax.lax.fori_loop(0, bm8, tile, jnp.int32(0))
+
+    # SEQUENTIAL write-out: consecutive blocks' value windows overlap
+    # (block k's zero tail is block k+1's data region), so the DMAs must
+    # land in block order — concurrent starts would race on the overlap.
+    for v in range(v_blk):
+        dma = pltpu.make_async_copy(
+            scratch.at[pl.ds(v * (br + 8), br), :],
+            vals_hbm.at[pl.ds(vbase_ref[0, slot * v_blk + v], br), :],
+            sems.at[v],
+        )
+        dma.start()
+        dma.wait()
+
+
+@partial(jax.jit, static_argnames=("p", "kr", "br", "v_blk", "interpret"))
+def compact_pallas(
+    symbols: jnp.ndarray,
+    vbase: jnp.ndarray,
+    *,
+    p: int,
+    kr: int,
+    br: int = BLOCK_ROWS,
+    v_blk: int = DEFAULT_V_BLK,
+    interpret: bool = False,
+):
+    """Sparse compact: (3, P) int32/uint8 symbols → (bitmaps, values).
+
+    ``vbase``: (3·nb,) absolute value row bases (:func:`value_row_bases`
+    with ``kr_stride = kr + br``).  Returns ``(bitmaps (3, P/8) int32
+    bytes, values (3·(kr+br), 128) int32)`` — values rows beyond each
+    channel's used rows are UNSPECIFIED; mask with ``ch_rows`` before
+    entropy coding (alc3 does).  ``kr`` = value capacity rows per channel.
+    """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    pr, nb = block_geometry(p, br)
+    if nb % v_blk:
+        raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
+    if (v_blk * br // 8) % 8:
+        raise ValueError("v_blk*br/8 must be a multiple of 8 (TPU sublanes)")
+    kr_stride = kr + br
+    kernel = partial(_compact_kernel, v_blk, br, kr_stride)
+    bm, vals = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3 * pr // 8, NG), jnp.int32),
+            jax.ShapeDtypeStruct((3 * kr_stride, NG), jnp.int32),
+        ),
+        grid=(3 * nb // v_blk,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * nb), lambda s: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((v_blk * br, NG), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((v_blk * br // 8, NG), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((v_blk * (br + 8), NG), jnp.int32),
+            pltpu.SemaphoreType.DMA((v_blk,)),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(
+        vbase.astype(jnp.int32).reshape(1, 3 * nb),
+        symbols.astype(jnp.int32).reshape(3 * pr, NG),
+    )
+    return bm.reshape(3, p // 8), vals
+
+
+# ── expand (decode side) ────────────────────────────────────────
+
+
+def _expand_kernel(v_blk, br, kr_stride,
+                   vbase_ref, bm_ref, vals_hbm,
+                   sym_ref, scratch, sems):
+    iota8_0, iota256_0, ltT, lt8 = _iotas()
+    slot = pl.program_id(0)
+    bm8 = br // 8
+
+    # stage each block's value window first (reads may overlap freely; the
+    # DMAs run while the first tiles' bitmap work proceeds)
+    for v in range(v_blk):
+        base = vbase_ref[0, slot * v_blk + v]
+        pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(base, br), :],
+            scratch.at[pl.ds(v * (br + 8), br), :],
+            sems.at[v],
+        ).start()
+
+    for v in range(v_blk):
+        pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(vbase_ref[0, slot * v_blk + v], br), :],
+            scratch.at[pl.ds(v * (br + 8), br), :],
+            sems.at[v],
+        ).wait()
+
+        def tile(g, cur, v=v):
+            byte = bm_ref[pl.ds(v * bm8 + g, 1), :]            # (1,NG)
+            bits = (byte >> iota8_0) & 1                       # (8,NG)
+            tile_cnt = jnp.sum(bits)
+
+            @pl.when(tile_cnt == 0)
+            def _zeros():
+                sym_ref[pl.ds(v * br + 8 * g, 8), :] = jnp.zeros(
+                    (8, NG), jnp.int32)
+
+            @pl.when(tile_cnt > 0)
+            def _gather():
+                rank, off = _row_ranks(bits, ltT, lt8)
+                for j in range(8):
+                    cur_j = cur + off[j, 0]
+                    mask = bits[j : j + 1, :] == 1
+                    r0 = cur_j >> 7
+                    sh = cur_j & 127
+                    pp = jnp.where(mask, rank[j : j + 1, :] + sh, -1)
+                    oh = (pp == iota256_0).astype(jnp.bfloat16)
+                    two = scratch[pl.ds(v * (br + 8) + r0, 2), :]
+                    out = jnp.zeros((1, NG), jnp.float32)
+                    for r in range(2):
+                        out = out + jax.lax.dot_general(
+                            two[r : r + 1, :].astype(jnp.bfloat16),
+                            oh[NG * r : NG * (r + 1), :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    sym_ref[pl.ds(v * br + 8 * g + j, 1), :] = jnp.where(
+                        mask, out.astype(jnp.int32), 0)
+            return cur + tile_cnt
+
+        jax.lax.fori_loop(0, bm8, tile, jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("p", "kr", "br", "v_blk", "interpret"))
+def expand_pallas(
+    bitmaps: jnp.ndarray,
+    values: jnp.ndarray,
+    vbase: jnp.ndarray,
+    *,
+    p: int,
+    kr: int,
+    br: int = BLOCK_ROWS,
+    v_blk: int = DEFAULT_V_BLK,
+    interpret: bool = False,
+):
+    """Sparse expand: (bitmaps (3, P/8), values (3·(kr+br), 128)) →
+    (3, P) int32 symbols.  Inverse of :func:`compact_pallas` (values rows
+    between a channel's used rows and ``kr`` must be zero — they are after
+    entropy decode, which codes the explicit zero padding)."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    pr, nb = block_geometry(p, br)
+    if nb % v_blk:
+        raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
+    if (v_blk * br // 8) % 8:
+        raise ValueError("v_blk*br/8 must be a multiple of 8 (TPU sublanes)")
+    kr_stride = kr + br
+    if values.shape != (3 * kr_stride, NG):
+        raise ValueError(
+            f"values shape {values.shape} != {(3 * kr_stride, NG)}")
+    kernel = partial(_expand_kernel, v_blk, br, kr_stride)
+    sym = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3 * pr, NG), jnp.int32),
+        grid=(3 * nb // v_blk,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * nb), lambda s: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((v_blk * br // 8, NG), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((v_blk * br, NG), lambda s: (s, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((v_blk * (br + 8), NG), jnp.int32),
+            pltpu.SemaphoreType.DMA((v_blk,)),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(
+        vbase.astype(jnp.int32).reshape(1, 3 * nb),
+        bitmaps.astype(jnp.int32).reshape(3 * pr // 8, NG),
+        values.astype(jnp.int32),
+    )
+    return sym.reshape(3, p)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,16 +117,42 @@ def from_symbols16(symbols: jnp.ndarray) -> jnp.ndarray:
 def build_histogram(symbols: jnp.ndarray) -> jnp.ndarray:
     """256-bin histogram of byte symbols, uint32 (src/quant.rs:594-600).
 
-    Works on any shape; counts all elements.  Implemented as a fused
-    compare-and-reduce (one virtual (N, 256) one-hot reduced over N):
-    TPU scatter-adds serialize per update, while this form streams the
-    symbols once and keeps 256 int32 accumulators in registers — the
-    whole 256-wide compare runs as VPU vector ops.
+    Works on any shape; counts all elements.  Implemented as a rank-1
+    one-hot factorization on the MXU: ``hist[16a+b] = Σ_i
+    oh_hi[i,a]·oh_lo[i,b] = (oh_hiᵀ @ oh_lo)[a,b]`` — building two (N,16)
+    nibble one-hots costs 32 VPU compares per symbol instead of the naive
+    (N,256) form's 256, and the N-contraction rides the MXU.  The
+    contraction is chunked so every f32 partial count stays ≤ 2²² (exact
+    in f32); chunk partials accumulate in uint32 — counts are exact for
+    any N (bit-compatible tables depend on it).
     """
     flat = symbols.reshape(-1).astype(jnp.int32)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    onehot = (flat[:, None] == bins[None, :]).astype(jnp.uint32)
-    return jnp.sum(onehot, axis=0, dtype=jnp.uint32)
+    n = flat.shape[0]
+    if n == 0:
+        return jnp.zeros(256, jnp.uint32)
+    if n < (1 << 14):  # tiny inputs: the simple fused compare-reduce
+        bins = jnp.arange(256, dtype=jnp.int32)
+        onehot = (flat[:, None] == bins[None, :]).astype(jnp.uint32)
+        return jnp.sum(onehot, axis=0, dtype=jnp.uint32)
+    chunk = 1 << 22
+    pad = (-n) % chunk
+    if pad:
+        # pad with an out-of-range sentinel so padding counts nowhere
+        flat = jnp.concatenate(
+            [flat, jnp.full(pad, -1, jnp.int32)])
+    k = flat.shape[0] // chunk
+    f3 = flat.reshape(k, chunk)
+    bins16 = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((f3 >> 4)[..., None] == bins16).astype(jnp.bfloat16)
+    oh_lo = ((f3 & 15)[..., None] == bins16).astype(jnp.bfloat16)
+    # (k, 16, chunk) × (k, chunk, 16) → (k, 16, 16); exact: operands are
+    # 0/1 (bf16-exact) and partial sums ≤ 2^22 < 2^24
+    parts = jax.lax.dot_general(
+        oh_hi, oh_lo, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # the -1 sentinel misses both one-hots, so padding adds zero counts
+    return jnp.sum(parts.astype(jnp.uint32), axis=0).reshape(256)
 
 
 # ── Host object API (mirrors reference classes) ─────────────────

@@ -266,15 +266,19 @@ def decode_bands_device(
 # Quantized symbol streams are mostly zero (75-100% per channel at
 # production qualities), yet the entropy kernels pay the same per-symbol
 # cost for a zero as for a value.  Sparse mode splits each channel into
-# a significance BITMAP plane (P/8 bytes, packed LSB-first) and a
-# COMPACTED nonzero-value plane, each rANS-coded with its own table:
-# the kernels then touch ~P/8 + nnz symbols instead of P — a 3-5×
-# entropy-stage speedup at production qualities, at roughly neutral
-# rate (the bitmap carries exactly the information the zero-symbol
-# probability mass carried before).
+# a significance BITMAP plane (P/8 bytes) and a COMPACTED nonzero-value
+# plane, each rANS-coded with its own table: the kernels then touch
+# ~P/8 + nnz symbols instead of P — a 3-5× entropy-stage reduction at
+# production qualities, at roughly neutral rate (the bitmap carries
+# exactly the information the zero-symbol probability mass carried
+# before).  Round 3 moved compaction/expansion into Pallas kernels with
+# a block-major layout (ops/pallas/sparse_kernels.py holds the layout
+# spec; ops/sparse_spec.py the NumPy oracle) — the round-2 XLA
+# gather/cumsum forms ran at 17-100 Msym/s and made sparse a rate win
+# only.
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels"))
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels", "pp"))
 def encode_sparse_phase1(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -282,78 +286,31 @@ def encode_sparse_phase1(
     *,
     wavelet_type: WaveletType,
     padded: tuple[int, int, int],
+    pp: int,
     levels: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Sparse phase 1: transform + quantize + zigzag + nonzero counts.
+    """Sparse phase 1: transform + quantize + zigzag + value-row counts.
 
-    Returns ``(symbols (3, P) uint8, nnz (3,) int32)``; the symbols stay
-    in HBM and the host only fetches the 12-byte counts to pick the
-    value-plane capacity bucket for phase 2."""
+    ``pp``: channel symbol count padded to whole compaction blocks
+    (``alc3._sparse_pp``).  Returns ``(symbols (3, pp) uint8, ch_rows
+    (3,) int32 — value rows each channel needs under block-major
+    padding)``; symbols stay in HBM and the host fetches only the
+    12-byte row counts to pick the value-capacity bucket for phase 2."""
+    from .ops.pallas.sparse_kernels import BLOCK_ROWS
+
     pw, ph, pf = padded
+    p = pf * ph * pw
     coeffs = _transform(rgb, wavelet_type, padded, levels)
     qcoeffs = quant.quantize(coeffs, step, dead_zone)
-    symbols = quant.to_symbols(qcoeffs).reshape(3, pf * ph * pw)
-    nnz = jnp.sum((symbols != 0).astype(jnp.int32), axis=1)
-    return symbols, nnz
-
-
-@partial(jax.jit, static_argnames=("kcap",))
-def sparse_planes(
-    symbols: jnp.ndarray, *, kcap: int
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Sparse phase 2a: significance bitmaps + compacted value planes.
-
-    ``symbols``: (3, P) uint8 with P % 8 == 0; ``kcap``: static value
-    capacity (≥ max per-channel nnz, segment-aligned).  Returns
-    ``(bitmaps (3, P//8) uint8, values (3, kcap) uint8, hists (6, 256))``
-    with hist rows [bm Y, bm Co, bm Cg, val Y, val Co, val Cg]."""
-    p = symbols.shape[1]
-    bits = symbols != 0
-    # column-major bit layout: bit j of byte b = pixel j·(P/8) + b, so
-    # every unpack/prefix array keeps its LONG dim trailing — a
-    # (…, P/8, 8) layout would lane-pad the trailing 8 to 128 (16× HBM)
-    weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, :, None]
-    bitmaps = jnp.sum(
-        bits.reshape(3, 8, p // 8).astype(jnp.int32) * weights, axis=1
-    ).astype(jnp.uint8)
-    padded_sym = jnp.concatenate(
-        [symbols, jnp.zeros((3, 1), symbols.dtype)], axis=1
+    symbols = quant.to_symbols(qcoeffs).reshape(3, p)
+    if pp != p:
+        symbols = jnp.pad(symbols, ((0, 0), (0, pp - p)))
+    blk = BLOCK_ROWS * 128
+    cnt = jnp.sum(
+        (symbols.reshape(3, pp // blk, blk) != 0).astype(jnp.int32), axis=-1
     )
-    values = []
-    for ch in range(3):  # jnp.nonzero has no batching rule; unrolled ×3
-        idx = jnp.nonzero(symbols[ch], size=kcap, fill_value=p)[0]
-        values.append(padded_sym[ch][idx])
-    values = jnp.stack(values)
-    hists = jnp.concatenate([
-        jax.vmap(quant.build_histogram)(bitmaps),
-        jax.vmap(quant.build_histogram)(values),
-    ])
-    return bitmaps, values, hists
-
-
-@jax.jit
-def sparse_expand(bitmaps: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`sparse_planes`: (3, P//8) bitmaps + (3, kcap)
-    values → (3, P) uint8 symbols.
-
-    Strictly 1-D per channel (the batched (3, P) gather/cumsum forms
-    lower measurably slower), but still gather-bound: ~1.3 s per channel
-    at P = 133 M on v5e — the reason sparse mode is a rate optimization
-    until Pallas compact/expand kernels land (ROUND_NOTES).  The
-    column-major bit layout (see :func:`sparse_planes`) makes the flat
-    unpack a free reshape."""
-    pb = bitmaps.shape[1]
-    kcap = values.shape[1]
-    shifts = jnp.arange(8, dtype=jnp.int32)[:, None]
-    outs = []
-    for ch in range(3):
-        bits = (
-            ((bitmaps[ch][None, :].astype(jnp.int32) >> shifts) & 1)
-            .reshape(8 * pb)                              # pixel order
-        )
-        rank = jnp.clip(jnp.cumsum(bits) - 1, 0, kcap - 1)
-        outs.append(jnp.where(bits == 1, values[ch][rank], 0))
-    return jnp.stack(outs).astype(jnp.uint8)
+    ch_rows = jnp.sum(-(-cnt // 128), axis=-1).astype(jnp.int32)
+    return symbols, ch_rows
 
 
 # ── Container types ─────────────────────────────────────────────

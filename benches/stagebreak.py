@@ -54,6 +54,11 @@ def main():
 
     rgb = jax.device_put(jnp.asarray(_test_chunk(t, h, w)))
     jax.block_until_ready(rgb)
+    # warm the dev rig's first-host-transfer hook OUTSIDE timed regions
+    # (measured ~250 s stall on the first fetch in a process)
+    t0 = time.perf_counter()
+    _ = np.asarray(rgb[0, 0, 0, 0])
+    print(f"first-fetch warm: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     print(f"shape {t}x{h}x{w} p={p} n_seg={n_seg} v_seg={v_seg}", file=sys.stderr)
 
     import functools

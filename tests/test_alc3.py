@@ -184,17 +184,19 @@ def test_sparse_all_zero_channels():
 
 
 def test_sparse_plane_roundtrip_unit():
-    import jax.numpy as jnp
-
-    from alice_codec_tpu.pipeline import sparse_expand, sparse_planes
+    """v3 block-major sparse plane roundtrip through the NumPy spec
+    (kernel-vs-spec parity lives in test_sparse_kernels.py)."""
+    from alice_codec_tpu.ops import sparse_spec as spec
 
     rng = np.random.default_rng(52)
-    sym = np.where(rng.random((3, 1024)) < 0.8, 0,
-                   rng.integers(1, 256, size=(3, 1024))).astype(np.uint8)
-    bm, vals, hists = sparse_planes(jnp.asarray(sym), kcap=1024)
-    back = np.asarray(sparse_expand(bm, vals))
+    p = 64 * 128 * 2
+    sym = np.where(rng.random(p) < 0.8, 0,
+                   rng.integers(1, 256, size=p)).astype(np.uint8)
+    bm = spec.pack_bitmap(sym)
+    kr = spec.value_rows_needed(sym, 64)
+    vals = spec.compact_values(sym, (kr + 8) * 128, br=64)
+    back = spec.expand_values(bm, vals, br=64)
     np.testing.assert_array_equal(back, sym)
-    assert np.asarray(hists).shape == (6, 256)
 
 
 # ── multi-level decomposition (§5.7 extension) ──────────────────

@@ -1,0 +1,76 @@
+"""Sparse compact/expand Pallas kernels vs the NumPy spec (interpret mode;
+the same oracle pattern as test_rans3_kernels)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from alice_codec_tpu.ops import sparse_spec as spec
+from alice_codec_tpu.ops.pallas.sparse_kernels import (
+    compact_pallas,
+    expand_pallas,
+    value_row_bases,
+)
+
+
+def _channel_syms(p, density, rng):
+    s = np.where(rng.random(p) < density,
+                 rng.integers(1, 256, size=p), 0).astype(np.uint8)
+    return s
+
+
+@pytest.mark.parametrize("density", [0.0, 0.03, 0.3, 1.0])
+def test_compact_expand_roundtrip_matches_spec(density):
+    br = 64
+    p = 4 * br * 128  # 4 blocks per channel
+    rng = np.random.default_rng(int(density * 100))
+    syms = np.stack([_channel_syms(p, d, rng)
+                     for d in (density, density / 2, 0.9 * density)])
+
+    # spec side
+    bm_spec = np.stack([spec.pack_bitmap(syms[c]) for c in range(3)])
+    need = max(spec.value_rows_needed(syms[c], br) for c in range(3))
+    kr = max(-(-need // 8) * 8, 8)
+    vals_spec = np.stack(
+        [spec.compact_values(syms[c], kr * 128, br) for c in range(3)])
+
+    vbase, ch_rows = value_row_bases(
+        jnp.asarray(bm_spec), p, kr + br, br=br)
+    for c in range(3):
+        assert int(ch_rows[c]) == spec.value_rows_needed(syms[c], br)
+
+    # kernel compact
+    bm_k, vals_k = compact_pallas(
+        jnp.asarray(syms), vbase, p=p, kr=kr, br=br, v_blk=2)
+    np.testing.assert_array_equal(
+        np.asarray(bm_k).astype(np.uint8), bm_spec)
+    vk = np.asarray(vals_k).reshape(3, kr + br, 128)
+    for c in range(3):
+        used = int(ch_rows[c])
+        np.testing.assert_array_equal(
+            vk[c, :used].reshape(-1),
+            vals_spec[c][: used * 128],
+            err_msg=f"channel {c} compacted values",
+        )
+
+    # kernel expand from the SPEC values (padded region zeroed)
+    vfull = np.zeros((3, kr + br, 128), np.int32)
+    vfull[:, :kr, :] = vals_spec.reshape(3, kr, 128)
+    out = expand_pallas(
+        jnp.asarray(bm_spec), jnp.asarray(vfull.reshape(3 * (kr + br), 128)),
+        vbase, p=p, kr=kr, br=br, v_blk=2)
+    np.testing.assert_array_equal(
+        np.asarray(out).astype(np.uint8), syms)
+
+
+def test_spec_roundtrip_standalone():
+    rng = np.random.default_rng(5)
+    p = 4096
+    s = _channel_syms(p, 0.2, rng)
+    bm = spec.pack_bitmap(s)
+    assert spec.unpack_bitmap(bm).sum() == (s != 0).sum()
+    kr = spec.value_rows_needed(s, 16)
+    vals = spec.compact_values(s, (kr + 4) * 128, 16)
+    back = spec.expand_values(bm, vals, 16)
+    np.testing.assert_array_equal(back, s)
