@@ -311,7 +311,11 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, kr, v_b, v_v):
     cnt = jnp.sum(
         (symbols.reshape(3, nbk, blk) != 0).astype(jnp.int32), axis=-1)
     rows = -(-cnt // NG)
-    vbase = (jnp.cumsum(rows, axis=-1) - rows
+    # clamp to capacity: encode() dispatches phase 2 OPTIMISTICALLY with
+    # the cached bucket and re-dispatches bigger if ch_rows overflowed —
+    # the clamp keeps the kernel's value-window DMAs in bounds meanwhile
+    excl = jnp.minimum(jnp.cumsum(rows, axis=-1) - rows, kr)
+    vbase = (excl
              + jnp.arange(3, dtype=jnp.int32)[:, None] * (kr + br)).reshape(-1)
     bm, vals = compact_pallas(
         symbols, vbase, p=pp, kr=kr, br=br, v_blk=_pick_v_blk(nbk))
@@ -350,14 +354,11 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, kr, v_b, v_v):
     )
 
 
-@partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "s_seg", "kcap", "v_b", "v_v",
-    "exact", "levels"))
-def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
-                         dims, padded, s_seg, kcap, v_b, v_v, exact=False,
-                         levels=1):
+def _sparse_entropy_expand(streams, counts, hists, *, p, s_seg, kcap,
+                           v_b, v_v):
+    """Sparse decode front half: two entropy groups → expand → (3, p)
+    uint8 symbols (shared by the fixed-step and RDO sparse decoders)."""
     br = BLOCK_ROWS
-    p = padded[0] * padded[1] * padded[2]
     pp = _sparse_pp(p)
     kr = kcap // NG
     thists = jnp.concatenate([
@@ -380,11 +381,58 @@ def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
     _, nbk = block_geometry(pp, br)
     symbols = expand_pallas(
         bm, vals, vbase, p=pp, kr=kr, br=br, v_blk=_pick_v_blk(nbk))
-    symbols = symbols[:, :p].astype(jnp.uint8)
+    return symbols[:, :p].astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "s_seg", "kcap", "v_b", "v_v",
+    "exact", "levels"))
+def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
+                         dims, padded, s_seg, kcap, v_b, v_v, exact=False,
+                         levels=1):
+    p = padded[0] * padded[1] * padded[2]
+    symbols = _sparse_entropy_expand(
+        streams, counts, hists, p=p, s_seg=s_seg, kcap=kcap, v_b=v_b,
+        v_v=v_v)
     return decode_device(
         symbols, steps, steps, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact, levels=levels,
     )
+
+
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "s_seg", "kcap", "v_b", "v_v",
+    "exact"))
+def _decode_chunk_sparse_rdo(streams, counts, hists, steps8, *,
+                             wavelet_type, dims, padded, s_seg, kcap,
+                             v_b, v_v, exact=False):
+    """Sparse entropy/expand front half + per-band RDO dequantization."""
+    p = padded[0] * padded[1] * padded[2]
+    symbols = _sparse_entropy_expand(
+        streams, counts, hists, p=p, s_seg=s_seg, kcap=kcap, v_b=v_b,
+        v_v=v_v)
+    return decode_bands_device(
+        symbols, steps8, wavelet_type=wavelet_type, dims=dims,
+        padded=padded, exact=exact,
+    )
+
+
+@partial(jax.jit, static_argnames=("padded", "pp"))
+def _bands_sparse_phase15(coeffs, steps8, dzs8, *, padded, pp):
+    """RDO×sparse phase 1.5: per-band quantize → padded symbol plane +
+    value-row counts (host fetches the 12-byte counts to size kcap)."""
+    from .ops.quant import quantize_bands, to_symbols
+
+    p = padded[0] * padded[1] * padded[2]
+    qcoeffs = quantize_bands(coeffs, steps8, dzs8)
+    symbols = to_symbols(qcoeffs).reshape(3, p)
+    if pp != p:
+        symbols = jnp.pad(symbols, ((0, 0), (0, pp - p)))
+    blk = BLOCK_ROWS * NG
+    cnt = jnp.sum(
+        (symbols.reshape(3, pp // blk, blk) != 0).astype(jnp.int32), axis=-1)
+    ch_rows = jnp.sum(-(-cnt // NG), axis=-1).astype(jnp.int32)
+    return symbols, ch_rows
 
 
 @partial(jax.jit, static_argnames=("padded", "s_seg", "v_seg"))
@@ -555,10 +603,53 @@ class Alc3Codec:
         #: compact/expand kernels (window one-hot pattern, no serial
         #: chain) before sparse can be the default fast path.
         self.sparse = bool(sparse)
-        if self.sparse and (self.rdo or self.deep):
-            raise ValueError("sparse mode excludes rdo/deep for now")
+        if self.sparse and self.deep:
+            raise ValueError(
+                "sparse+deep composition lands with the 12-plane layout; "
+                "sparse currently composes with rdo and levels")
+        if self.rdo and self.sparse and self.levels != 1:
+            raise ValueError("rdo supports single-level decomposition only")
 
     # ── device path (HBM-resident, zero host traffic) ───────────
+
+    def _sparse_phase2(self, symbols, ch_rows, pp, w, h, t, *,
+                       band_steps) -> DeviceChunk:
+        """Shared sparse phase 2 with OPTIMISTIC capacity bucketing.
+
+        Phase 2 dispatches immediately with the cached value-capacity
+        bucket (keeping the device busy — no host sync before dispatch);
+        the tiny ``ch_rows`` fetch then validates the guess and only an
+        overflow re-dispatches with a larger bucket (the in-graph vbase
+        clamp keeps the optimistic run's DMAs in bounds).  Steady streams
+        of similar content pay zero extra dispatches.
+        """
+        nb, _ = _segment_geometry(pp // 8, self.s_seg)
+        nv = getattr(self, "_nv_cache", None)
+        if nv is None:
+            # cold start: size the bucket from the actual counts rather
+            # than paying a throwaway compile of a too-small phase 2
+            need = int(np.asarray(ch_rows).max())
+            nv = 4
+            while nv * self.s_seg < need:
+                nv *= 2
+        for _attempt in range(8):
+            kr = nv * self.s_seg
+            streams, counts, hists = _encode_chunk_sparse(
+                symbols, ch_rows, pp=pp, s_seg=self.s_seg, kr=kr,
+                v_b=_pick_v_seg(nb), v_v=_pick_v_seg(nv),
+            )
+            need = int(np.asarray(ch_rows).max())  # 12-byte fetch
+            if need <= kr:
+                break
+            while nv * self.s_seg < need:
+                nv *= 2  # power-of-2 buckets bound the compile count
+        self._nv_cache = nv
+        return DeviceChunk(
+            w, h, t, self.wavelet_type, self.step if band_steps is None
+            else int(band_steps.min()), self.s_seg,
+            streams, counts, hists, band_steps=band_steps,
+            levels=self.levels, sparse=True, kcap=kr * NG,
+        )
 
     def encode(self, rgb) -> DeviceChunk:
         """Encode one (T, H, W, 3) uint8 chunk; accepts NumPy (uploaded
@@ -588,6 +679,16 @@ class Alc3Codec:
                 steps[ch], dzs[ch] = rdo.steps_from_moments(
                     p // 8, s1_np[ch], s2_np[ch]
                 )
+            if self.sparse:
+                # rdo×sparse: phase 1.5 quantizes per band and counts the
+                # value rows; phase 2 is the shared sparse pipeline.
+                pp = _sparse_pp(p)
+                symbols, ch_rows = _bands_sparse_phase15(
+                    coeffs, jnp.asarray(steps), jnp.asarray(dzs),
+                    padded=padded, pp=pp,
+                )
+                return self._sparse_phase2(
+                    symbols, ch_rows, pp, w, h, t, band_steps=steps)
             streams, counts, hists = _encode_chunk_rdo(
                 coeffs, jnp.asarray(steps), jnp.asarray(dzs),
                 padded=padded, s_seg=self.s_seg, v_seg=v_seg,
@@ -603,21 +704,8 @@ class Alc3Codec:
                 wavelet_type=self.wavelet_type, padded=padded, pp=pp,
                 levels=self.levels,
             )
-            need = int(np.asarray(ch_rows).max())  # value rows needed
-            nv = 4
-            while nv * self.s_seg < need:
-                nv *= 2  # power-of-2 buckets bound the compile count
-            kr = nv * self.s_seg
-            nb, _ = _segment_geometry(pp // 8, self.s_seg)
-            streams, counts, hists = _encode_chunk_sparse(
-                symbols, ch_rows, pp=pp, s_seg=self.s_seg, kr=kr,
-                v_b=_pick_v_seg(nb), v_v=_pick_v_seg(nv),
-            )
-            return DeviceChunk(
-                w, h, t, self.wavelet_type, self.step, self.s_seg,
-                streams, counts, hists, levels=self.levels, sparse=True,
-                kcap=kr * NG,
-            )
+            return self._sparse_phase2(
+                symbols, ch_rows, pp, w, h, t, band_steps=None)
         if self.deep:
             streams, counts, hists = _encode_chunk_deep(
                 jnp.asarray(rgb),
@@ -655,13 +743,26 @@ class Alc3Codec:
         w, h, t = chunk.width, chunk.height, chunk.frames
         padded = padded_dims_levels(w, h, t, chunk.levels)
         if chunk.band_steps is not None:
-            rgb = _decode_chunk_rdo(
-                chunk.streams, chunk.counts, chunk.hists,
-                jnp.asarray(chunk.band_steps, jnp.int32),
-                wavelet_type=chunk.wavelet_type, dims=(w, h, t),
-                padded=padded, s_seg=chunk.s_seg,
-                v_seg=_pick_v_seg(chunk.n_segments), exact=exact,
-            )
+            if chunk.sparse:
+                p = int(np.prod(padded))
+                pp = _sparse_pp(p)
+                nb, _ = _segment_geometry(pp // 8, chunk.s_seg)
+                nv = chunk.kcap // (chunk.s_seg * NG)
+                rgb = _decode_chunk_sparse_rdo(
+                    chunk.streams, chunk.counts, chunk.hists,
+                    jnp.asarray(chunk.band_steps, jnp.int32),
+                    wavelet_type=chunk.wavelet_type, dims=(w, h, t),
+                    padded=padded, s_seg=chunk.s_seg, kcap=chunk.kcap,
+                    v_b=_pick_v_seg(nb), v_v=_pick_v_seg(nv), exact=exact,
+                )
+            else:
+                rgb = _decode_chunk_rdo(
+                    chunk.streams, chunk.counts, chunk.hists,
+                    jnp.asarray(chunk.band_steps, jnp.int32),
+                    wavelet_type=chunk.wavelet_type, dims=(w, h, t),
+                    padded=padded, s_seg=chunk.s_seg,
+                    v_seg=_pick_v_seg(chunk.n_segments), exact=exact,
+                )
             return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
         steps = jnp.full((3,), chunk.quant_step, jnp.int32)
         if chunk.sparse:
@@ -837,7 +938,9 @@ class Alc3Codec:
                     histogram=hists[ch],
                 ).to_bytes()
                 buf += ch_counts.astype("<u4").tobytes()
-                if ck.band_steps is not None:
+                # RDO band steps ride the first 3 plane sections (steps
+                # are per CHANNEL; sparse value planes carry none)
+                if ck.band_steps is not None and ch < 3:
                     buf += np.asarray(
                         ck.band_steps[ch], np.int32
                     ).astype("<i4").tobytes()
@@ -885,8 +988,8 @@ class Alc3Codec:
             band_steps = (
                 np.zeros((3, 8), np.int32) if flags & _FLAG_RDO else None
             )
-            if band_steps is not None and (deep or sparse):
-                raise InvalidBitstream("rdo excludes deep/sparse flags")
+            if band_steps is not None and deep:
+                raise InvalidBitstream("rdo and deep flags are exclusive")
             if deep and sparse:
                 raise InvalidBitstream("deep and sparse flags are exclusive")
             hists = np.zeros((n_planes, 256), np.uint32)
@@ -930,12 +1033,13 @@ class Alc3Codec:
                     raise InvalidBitstream(
                         f"{n_seg} segments cannot cover {p} symbols"
                     )
-                extra = 32 if band_steps is not None else 0
+                has_steps = band_steps is not None and ch < 3
+                extra = 32 if has_steps else 0
                 if off + 4 * ns + extra > len(data):
                     raise InvalidBitstream("truncated ALC3 header section")
                 ch_counts = np.frombuffer(data, "<u4", ns, off).astype(np.int64)
                 off += 4 * ns
-                if band_steps is not None:
+                if has_steps:
                     band_steps[ch] = np.frombuffer(data, "<i4", 8, off)
                     if (band_steps[ch] < 1).any():
                         raise InvalidBitstream("non-positive RDO band step")

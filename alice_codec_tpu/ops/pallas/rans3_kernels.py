@@ -100,13 +100,14 @@ def stream_rows(s_seg: int) -> int:
 def _iotas():
     """Shared kernel constants (all lane-major)."""
     iota16_0 = jax.lax.broadcasted_iota(jnp.int32, (16, NG), 0)
-    iota256_0 = jax.lax.broadcasted_iota(jnp.int32, (256, NG), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NG), 1)
     i = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 1)
     # exclusive-prefix-sum matrix: rank = flags @ ltT (strict lower tri.)
     ltT = (i < j).astype(jnp.bfloat16)
-    return iota16_0, iota256_0, lane_iota, ltT
+    # window-op iotas: (128,128) position iota + (1,128) lane iota
+    win = (i, lane_iota)
+    return iota16_0, win, lane_iota, ltT
 
 
 def _tdot16(t_hi_ref, t_lo_ref, oh):
@@ -123,47 +124,53 @@ def _tdot16(t_hi_ref, t_lo_ref, oh):
     )
 
 
-def _win_read(stream_ref, iota256_0, row_base, base, pos, mask):
+def _win_read(stream_ref, win, row_base, base, pos, mask):
     """Read per-lane words from a 2-row window of one segment's stream.
 
     ``row_base``: static first row of the segment inside the block;
     ``base``: scalar word offset of the window start within the segment;
-    ``pos``: (1,128) int32 word offsets relative to ``base`` (0 ≤ pos+shift
-    < 256 where ``mask`` holds; other lanes return 0).  Returns (1,128)
-    f32 word values.
+    ``pos``: (1,128) int32 word offsets relative to ``base`` (0 ≤ pos <
+    128 + free lanes where ``mask`` holds; other lanes return 0).
+    Returns (1,128) f32 word values.
+
+    Implementation: rotate the 2-row window left by ``base & 127`` with
+    dynamic lane-rolls so the wanted span starts at lane 0, then ONE
+    (128,128) one-hot gather — half the compare volume of the previous
+    (256,128) window one-hot (iota256_0's first 128 rows serve as the
+    lane iota).
     """
+    iota128_0, lane = win
     r0 = base >> 7
-    sh = base - (r0 << 7)
-    p = jnp.where(mask, pos + sh, -1)
-    oh = (p == iota256_0).astype(jnp.bfloat16)          # (256,128)
+    sh = base & 127
     rows = stream_ref[pl.ds(row_base + r0, 2), :]        # (2,128) int32
-    out = jnp.zeros((1, NG), jnp.float32)
-    for r in range(2):
-        w2 = jnp.concatenate(
-            [(rows[r : r + 1, :] >> 8).astype(jnp.bfloat16),
-             (rows[r : r + 1, :] & 255).astype(jnp.bfloat16)], axis=0
-        )                                                # (2,128)
-        d = jax.lax.dot_general(
-            w2, oh[128 * r : 128 * (r + 1), :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (2,128)
-        out = out + 256.0 * d[0:1, :] + d[1:2, :]
-    return out
+    rot = pltpu.roll(rows, -sh, 1)                       # lane-rotate both
+    w = jnp.where(lane < NG - sh, rot[0:1, :], rot[1:2, :])
+    p = jnp.where(mask, pos, -1)
+    oh = (p == iota128_0).astype(jnp.bfloat16)           # (128,128)
+    w2 = jnp.concatenate(
+        [(w >> 8).astype(jnp.bfloat16),
+         (w & 255).astype(jnp.bfloat16)], axis=0)        # (2,128)
+    d = jax.lax.dot_general(
+        w2, oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (2,128)
+    return 256.0 * d[0:1, :] + d[1:2, :]
 
 
-def _win_append(stream_ref, iota256_0, row_base, base, pos, words, mask):
+def _win_append(stream_ref, win, row_base, base, pos, words, mask):
     """Scatter per-lane words into a 2-row window (dual of
-    :func:`_win_read`): contraction over the lane axis turns the (256,128)
-    one-hot into per-position sums with the window offset back in lanes.
+    :func:`_win_read`): a lane-axis contraction against a (128,128)
+    one-hot compacts the words to positions [0,128), then a dynamic
+    lane-roll places the span at ``base & 127`` across the two rows.
 
     ``pos``: (1,128) int32 offsets relative to ``base`` (unique among
     ``mask`` lanes); ``words``: (1,128) int32 < 2^16.
     """
+    iota128_0, lane = win
     r0 = base >> 7
-    sh = base - (r0 << 7)
-    p = jnp.where(mask, pos + sh, -1)
-    oh = (p == iota256_0).astype(jnp.bfloat16)           # (256,128)
+    sh = base & 127
+    p = jnp.where(mask, pos, -1)
+    oh = (p == iota128_0).astype(jnp.bfloat16)           # (128,128)
     w2 = jnp.concatenate(
         [jnp.where(mask, words >> 8, 0).astype(jnp.bfloat16),
          jnp.where(mask, words & 255, 0).astype(jnp.bfloat16)], axis=0
@@ -171,11 +178,12 @@ def _win_append(stream_ref, iota256_0, row_base, base, pos, words, mask):
     c = jax.lax.dot_general(
         w2, oh, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                    # (2,256)
+    )                                                    # (2,128): [hi; lo]
+    v = (256.0 * c[0:1, :] + c[1:2, :]).astype(jnp.int32)
+    vr = pltpu.roll(v, sh, 1)
     rows = stream_ref[pl.ds(row_base + r0, 2), :]
     add = jnp.concatenate(
-        [(256.0 * c[0:1, 0:128] + c[1:2, 0:128]).astype(jnp.int32),
-         (256.0 * c[0:1, 128:256] + c[1:2, 128:256]).astype(jnp.int32)],
+        [jnp.where(lane >= sh, vr, 0), jnp.where(lane < sh, vr, 0)],
         axis=0,
     )
     stream_ref[pl.ds(row_base + r0, 2), :] = rows + add
@@ -190,7 +198,7 @@ def _decode_kernel(v_seg, s_seg, w_rows,
     # v_seg segments decode in one slot as INDEPENDENT dataflow chains
     # (they share no data, so the scheduler interleaves their op
     # latencies — the point of V-batching).
-    iota16_0, iota256_0, lane_iota, ltT = _iotas()
+    iota16_0, win, lane_iota, ltT = _iotas()
     heads = headc_ref[:, :]  # (16,128) f32 cum heads, lanes replicated
 
     slot0 = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
@@ -200,8 +208,8 @@ def _decode_kernel(v_seg, s_seg, w_rows,
     for v in range(v_seg):
         cnt = counts_ref[0, slot0 * v_seg + v]
         c0 = cnt - 2 * NG
-        hi = _win_read(stream_ref, iota256_0, v * w_rows, c0, lane_iota, ones)
-        lo = _win_read(stream_ref, iota256_0, v * w_rows, c0 + NG,
+        hi = _win_read(stream_ref, win, v * w_rows, c0, lane_iota, ones)
+        lo = _win_read(stream_ref, win, v * w_rows, c0 + NG,
                        lane_iota, ones)
         x = hi.astype(jnp.int32).astype(jnp.uint32) << 16
         states.append(x | lo.astype(jnp.int32).astype(jnp.uint32))
@@ -241,7 +249,7 @@ def _decode_kernel(v_seg, s_seg, w_rows,
             need.astype(jnp.bfloat16), ltT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)                                        # (1,128)
-        w = _win_read(stream_ref, iota256_0, v * w_rows, cur - k, rank, need)
+        w = _win_read(stream_ref, win, v * w_rows, cur - k, rank, need)
         x = jnp.where(
             need, (x << 16) | w.astype(jnp.int32).astype(jnp.uint32), x)
         return x, cur - k
@@ -348,7 +356,7 @@ def _encode_kernel(v_seg, s_seg, w_rows,
                    sym_ref, fc_hi_ref, fc_lo_ref,
                    stream_ref, counts_ref):
     # v_seg independent per-segment chains per slot (see _decode_kernel).
-    iota16_0, iota256_0, lane_iota, ltT = _iotas()
+    iota16_0, win, lane_iota, ltT = _iotas()
 
     stream_ref[:, :] = jnp.zeros(stream_ref.shape, stream_ref.dtype)
 
@@ -373,7 +381,7 @@ def _encode_kernel(v_seg, s_seg, w_rows,
             emit.astype(jnp.bfloat16), ltT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
-        _win_append(stream_ref, iota256_0, v * w_rows, cur, rank, w, emit)
+        _win_append(stream_ref, win, v * w_rows, cur, rank, w, emit)
         x = jnp.where(emit, x >> 16, x)
         q = x // f
         x = (q << PROB_BITS) + (x - q * f) + c
@@ -398,9 +406,9 @@ def _encode_kernel(v_seg, s_seg, w_rows,
     # the TPU tiling rules; callers read element [v·8, 0]).
     ones = lane_iota >= 0
     for v in range(v_seg):
-        _win_append(stream_ref, iota256_0, v * w_rows, curs[v], lane_iota,
+        _win_append(stream_ref, win, v * w_rows, curs[v], lane_iota,
                     (xs[v] >> 16).astype(jnp.int32), ones)
-        _win_append(stream_ref, iota256_0, v * w_rows, curs[v] + NG,
+        _win_append(stream_ref, win, v * w_rows, curs[v] + NG,
                     lane_iota, (xs[v] & jnp.uint32(0xFFFF)).astype(jnp.int32),
                     ones)
         counts_ref[v * 8 : (v + 1) * 8, :] = jnp.full(

@@ -90,18 +90,21 @@ def value_row_bases(bitmaps: jnp.ndarray, p: int, kr_stride: int,
     rows = -(-counts // NG)                                # ceil → block rows
     ch_rows = rows.sum(axis=-1)                            # (3,)
     excl = jnp.cumsum(rows, axis=-1) - rows                # exclusive scan
+    # clamp to capacity so a hostile bitmap (popcount beyond the declared
+    # kcap) can never drive the expand kernel's window DMAs out of bounds
+    excl = jnp.minimum(excl, kr_stride - br)
     vbase = excl + jnp.arange(3, dtype=jnp.int32)[:, None] * kr_stride
     return vbase.reshape(-1).astype(jnp.int32), ch_rows
 
 
 def _iotas():
     iota8_0 = jax.lax.broadcasted_iota(jnp.int32, (8, NG), 0)
-    iota256_0 = jax.lax.broadcasted_iota(jnp.int32, (256, NG), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NG), 1)
     i = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (NG, NG), 1)
     ltT = (i < j).astype(jnp.bfloat16)
     lt8 = (i[:8, :8] > j[:8, :8]).astype(jnp.float32)  # strict lower tri (8,8)
-    return iota8_0, iota256_0, ltT, lt8
+    return iota8_0, (i, lane_iota), ltT, lt8
 
 
 def _row_ranks(bits8, ltT, lt8):
@@ -127,7 +130,7 @@ def _row_ranks(bits8, ltT, lt8):
 def _compact_kernel(v_blk, br, kr_stride,
                     vbase_ref, sym_ref,
                     bm_ref, vals_hbm, scratch, sems):
-    iota8_0, iota256_0, ltT, lt8 = _iotas()
+    iota8_0, win, ltT, lt8 = _iotas()
     slot = pl.program_id(0)
     bm8 = br // 8
 
@@ -146,25 +149,29 @@ def _compact_kernel(v_blk, br, kr_stride,
             @pl.when(tile_cnt > 0)
             def _scatter():
                 rank, off = _row_ranks(bits, ltT, lt8)
+                iota128_0, lane = win
                 for j in range(8):
                     cur_j = cur + off[j, 0]
                     mask = bits[j : j + 1, :] == 1
                     word = jnp.where(mask, rows[j : j + 1, :], 0)
-                    # 2-row window scatter at cur_j + rank (the rans3
-                    # _win_append contraction, u8-exact single dot)
+                    # 2-row window scatter at cur_j + rank: compact the
+                    # words to [0,128) with one (128,128) one-hot dot,
+                    # then lane-roll the span to cur_j & 127 (the rans3
+                    # _win_append scheme, u8-exact single dot)
                     r0 = cur_j >> 7
                     sh = cur_j & 127
-                    pp = jnp.where(mask, rank[j : j + 1, :] + sh, -1)
-                    oh = (pp == iota256_0).astype(jnp.bfloat16)
+                    pp = jnp.where(mask, rank[j : j + 1, :], -1)
+                    oh = (pp == iota128_0).astype(jnp.bfloat16)
                     c = jax.lax.dot_general(
                         word.astype(jnp.bfloat16), oh,
                         (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # (1,256)
+                        preferred_element_type=jnp.float32)    # (1,128)
+                    vr = pltpu.roll(c.astype(jnp.int32), sh, 1)
                     two = scratch[pl.ds(v * (br + 8) + r0, 2), :]
-                    scratch[pl.ds(v * (br + 8) + r0, 2), :] = (
-                        two + jnp.concatenate(
-                            [c[:, :NG], c[:, NG:]], axis=0).astype(jnp.int32)
-                    )
+                    add = jnp.concatenate(
+                        [jnp.where(lane >= sh, vr, 0),
+                         jnp.where(lane < sh, vr, 0)], axis=0)
+                    scratch[pl.ds(v * (br + 8) + r0, 2), :] = two + add
             return cur + tile_cnt
 
         jax.lax.fori_loop(0, bm8, tile, jnp.int32(0))
@@ -247,7 +254,7 @@ def compact_pallas(
 def _expand_kernel(v_blk, br, kr_stride,
                    vbase_ref, bm_ref, vals_hbm,
                    sym_ref, scratch, sems):
-    iota8_0, iota256_0, ltT, lt8 = _iotas()
+    iota8_0, win, ltT, lt8 = _iotas()
     slot = pl.program_id(0)
     bm8 = br // 8
 
@@ -281,21 +288,24 @@ def _expand_kernel(v_blk, br, kr_stride,
             @pl.when(tile_cnt > 0)
             def _gather():
                 rank, off = _row_ranks(bits, ltT, lt8)
+                iota128_0, lane = win
                 for j in range(8):
                     cur_j = cur + off[j, 0]
                     mask = bits[j : j + 1, :] == 1
+                    # 2-row window gather at cur_j + rank: lane-roll the
+                    # window span to lane 0, then one (128,128) one-hot
+                    # dot (the rans3 _win_read scheme, u8-exact)
                     r0 = cur_j >> 7
                     sh = cur_j & 127
-                    pp = jnp.where(mask, rank[j : j + 1, :] + sh, -1)
-                    oh = (pp == iota256_0).astype(jnp.bfloat16)
                     two = scratch[pl.ds(v * (br + 8) + r0, 2), :]
-                    out = jnp.zeros((1, NG), jnp.float32)
-                    for r in range(2):
-                        out = out + jax.lax.dot_general(
-                            two[r : r + 1, :].astype(jnp.bfloat16),
-                            oh[NG * r : NG * (r + 1), :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                    rot = pltpu.roll(two, -sh, 1)
+                    w = jnp.where(lane < NG - sh, rot[0:1, :], rot[1:2, :])
+                    pp = jnp.where(mask, rank[j : j + 1, :], -1)
+                    oh = (pp == iota128_0).astype(jnp.bfloat16)
+                    out = jax.lax.dot_general(
+                        w.astype(jnp.bfloat16), oh,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                     sym_ref[pl.ds(v * br + 8 * g + j, 1), :] = jnp.where(
                         mask, out.astype(jnp.int32), 0)
             return cur + tile_cnt

@@ -101,7 +101,8 @@ def north_star():
     rgb = _stage(_test_chunk(t, h, w))
     print("input staged", file=sys.stderr, flush=True)
 
-    codec = Alc3Codec(quality=90, wavelet="cdf53")
+    sparse = os.environ.get("ALC_BENCH_DENSE") != "1"
+    codec = Alc3Codec(quality=90, wavelet="cdf53", sparse=sparse)
     print("warmup (compiling)...", file=sys.stderr, flush=True)
     chunk = codec.encode(rgb)
     out = codec.decode(chunk)
@@ -109,11 +110,18 @@ def north_star():
     comp = chunk.compressed_size
     print("warmup done", file=sys.stderr, flush=True)
 
+    # Sustained pipelined throughput: all iterations are dispatched
+    # back-to-back and ONE final fetch forces completion (device programs
+    # execute in dispatch order, so the last output transitively syncs
+    # the whole stream) — per-iteration fetches would insert a host↔chip
+    # round trip between chunks that a production pipeline doesn't have.
     start = time.perf_counter()
+    outs = []
     for _ in range(n_iters):
         c = codec.encode(rgb)
         out = codec.decode(c)
-        _sync(out)
+        outs.append(out)
+    _sync(out)
     elapsed = time.perf_counter() - start
 
     mse = float(jnp.mean(

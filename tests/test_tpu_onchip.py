@@ -1,0 +1,146 @@
+"""Real-TPU kernel verification gate (round-3: VERDICT weak #6).
+
+Opt-in: ``ALC_TPU_TESTS=1 python -m pytest tests/test_tpu_onchip.py -q``.
+Runs the Pallas kernels ON CHIP (Mosaic-compiled, not interpret) and
+asserts bit-equality against the NumPy specs for every mode the codec
+ships: dense / deep / sparse / multi-table.  The regular suite forces
+CPU (conftest), where kernels run in interpret mode — a Mosaic
+miscompile or a JAX bump would otherwise pass CI and only fail on chip.
+
+These tests intentionally bypass tests/conftest.py's CPU pin by spawning
+with JAX_PLATFORMS unset — they are skipped unless ALC_TPU_TESTS=1 AND a
+TPU is attached.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_GATE = os.environ.get("ALC_TPU_TESTS") == "1"
+
+pytestmark = pytest.mark.skipif(
+    not _GATE, reason="set ALC_TPU_TESTS=1 to run on-chip kernel checks")
+
+_CHECK = r"""
+import numpy as np
+import jax, jax.numpy as jnp
+
+assert jax.devices()[0].platform != "cpu", f"no TPU: {jax.devices()}"
+
+from alice_codec_tpu.ops import rans_word, sparse_spec
+from alice_codec_tpu.ops.pallas.rans3_kernels import (
+    decode_words_pallas, encode_words_pallas, stream_rows)
+from alice_codec_tpu.ops.pallas.sparse_kernels import (
+    compact_pallas, expand_pallas, value_row_bases)
+from alice_codec_tpu.ops.rans import FrequencyTable
+from alice_codec_tpu.ops.tables_device import freq_table_device
+
+rng = np.random.default_rng(0)
+NG, s_seg = 128, 64
+failures = []
+
+# warm the first host fetch outside checks
+_ = np.asarray(jnp.zeros((1,))[0])
+
+# ── rANS segment kernels: dense-ish, skewed, multi-table ─────────
+for name, n_tables, mk in [
+    ("uniformish", 1, lambda n: rng.integers(0, 256, n)),
+    ("skewed", 1, lambda n: np.where(rng.random(n) < 0.9, 0,
+                                     rng.integers(1, 256, n))),
+    ("multi-table", 3, lambda n: rng.integers(0, 64, n)),
+]:
+    seg_per_table = 4
+    n_streams = n_tables * seg_per_table
+    sym = mk(n_streams * s_seg * NG).astype(np.uint8).reshape(
+        n_streams, s_seg, NG)
+    freqs = np.zeros((n_tables, 256), np.int64)
+    cums = np.zeros((n_tables, 256), np.int64)
+    luts = []
+    for t in range(n_tables):
+        hist = np.bincount(
+            sym[t * seg_per_table : (t + 1) * seg_per_table].reshape(-1),
+            minlength=256).astype(np.uint32)
+        ft = FrequencyTable.from_histogram(hist, sanitize=True)
+        freqs[t], cums[t] = ft.freqs, ft.cums
+        luts.append(ft.cum_to_sym)
+    streams, counts = encode_words_pallas(
+        jnp.asarray(sym.astype(np.int32)), jnp.asarray(freqs),
+        jnp.asarray(cums), v_seg=4)
+    streams_np, counts_np = np.asarray(streams), np.asarray(counts)
+    ok = True
+    for s in range(n_streams):
+        t = s // seg_per_table
+        want = rans_word.encode_segment_words(sym[s], freqs[t], cums[t])
+        got = streams_np[s].reshape(-1)[: counts_np[s]]
+        if not (len(want) == counts_np[s] and np.array_equal(got, want.astype(np.int32))):
+            ok = False
+    if not ok:
+        failures.append(f"rans encode {name}")
+    dec = decode_words_pallas(
+        streams, counts, jnp.asarray(freqs), jnp.asarray(cums),
+        s_seg=s_seg, v_seg=4)
+    if not np.array_equal(np.asarray(dec).astype(np.uint8), sym):
+        failures.append(f"rans decode {name}")
+
+# ── sparse compact/expand: several densities ─────────────────────
+br = 512
+p = 2 * br * 128
+for density in (0.0, 0.05, 0.5, 1.0):
+    syms = np.stack([
+        np.where(rng.random(p) < d, rng.integers(1, 256, p), 0)
+        for d in (density, density / 2, min(1.0, density * 1.5))
+    ]).astype(np.uint8)
+    bm_spec = np.stack([sparse_spec.pack_bitmap(syms[c]) for c in range(3)])
+    need = max(sparse_spec.value_rows_needed(syms[c], br) for c in range(3))
+    kr = max(-(-need // 8) * 8, 8)
+    vbase, ch_rows = value_row_bases(jnp.asarray(bm_spec), p, kr + br, br=br)
+    bm_k, vals_k = compact_pallas(jnp.asarray(syms), vbase, p=p, kr=kr, br=br)
+    if not np.array_equal(np.asarray(bm_k).astype(np.uint8), bm_spec):
+        failures.append(f"compact bitmap d={density}")
+    vk = np.asarray(vals_k).reshape(3, kr + br, 128)
+    for c in range(3):
+        used = int(ch_rows[c])
+        want = sparse_spec.compact_values(syms[c], kr * 128, br)[: used * 128]
+        if not np.array_equal(vk[c, :used].reshape(-1), want.astype(np.int32)):
+            failures.append(f"compact values d={density} ch={c}")
+            break
+    vfull = np.zeros((3, kr + br, 128), np.int32)
+    for c in range(3):
+        vfull[c, :kr] = sparse_spec.compact_values(
+            syms[c], kr * 128, br).reshape(kr, 128)
+    out = expand_pallas(
+        jnp.asarray(bm_spec), jnp.asarray(vfull.reshape(-1, 128)),
+        vbase, p=p, kr=kr, br=br)
+    if not np.array_equal(np.asarray(out).astype(np.uint8), syms):
+        failures.append(f"expand d={density}")
+
+# ── histogram exactness on chip (MXU path) ───────────────────────
+from alice_codec_tpu.ops.quant import build_histogram
+s = np.where(rng.random(1 << 23) < 0.95, 0,
+             rng.integers(0, 256, 1 << 23)).astype(np.uint8)
+got = np.asarray(build_histogram(jnp.asarray(s)))
+want = np.bincount(s, minlength=256).astype(np.uint32)
+if not np.array_equal(got, want):
+    failures.append("histogram")
+
+if failures:
+    print("FAILURES:", failures)
+    raise SystemExit(1)
+print("ALL ON-CHIP KERNEL CHECKS PASSED")
+"""
+
+
+def test_onchip_kernels_bit_exact():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # use the ambient (TPU) platform
+    env.pop("XLA_FLAGS", None)
+    res = subprocess.run(
+        [sys.executable, "-c", _CHECK],
+        capture_output=True, text=True, timeout=3000, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    sys.stderr.write(res.stdout[-2000:] + res.stderr[-2000:])
+    assert res.returncode == 0, "on-chip kernel checks failed"
+    assert "ALL ON-CHIP KERNEL CHECKS PASSED" in res.stdout
