@@ -84,6 +84,7 @@ from .pipeline import (
     decode_device,
     encode_bands_device,
     encode_deep_device,
+    encode_deep_sparse_phase1,
     encode_device,
     encode_sparse_phase1,
     transform_moments_device,
@@ -301,31 +302,33 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, kr, v_b, v_v):
     """Sparse phase 2: Pallas compact → bitmap + value planes → two
     entropy kernel groups.
 
-    ``symbols``: (3, pp) uint8 from :func:`encode_sparse_phase1`;
-    ``kr`` = value capacity rows per channel (kcap = kr·128,
-    segment-aligned).  Returns (streams, counts, hists) with the bitmap
-    group's 3·nb streams first, then the value group's 3·nv."""
+    ``symbols``: (nc, pp) uint8 (nc = 3 channels, or 6 lo/hi byte planes
+    for deep×sparse); ``kr`` = value capacity rows per plane (kcap =
+    kr·128, segment-aligned).  Returns (streams, counts, hists) with the
+    bitmap group's nc·nb streams first, then the value group's nc·nv."""
     br = BLOCK_ROWS
+    nc = symbols.shape[0]
     _, nbk = block_geometry(pp, br)
     blk = br * NG
     cnt = jnp.sum(
-        (symbols.reshape(3, nbk, blk) != 0).astype(jnp.int32), axis=-1)
+        (symbols.reshape(nc, nbk, blk) != 0).astype(jnp.int32), axis=-1)
     rows = -(-cnt // NG)
     # clamp to capacity: encode() dispatches phase 2 OPTIMISTICALLY with
     # the cached bucket and re-dispatches bigger if ch_rows overflowed —
     # the clamp keeps the kernel's value-window DMAs in bounds meanwhile
     excl = jnp.minimum(jnp.cumsum(rows, axis=-1) - rows, kr)
     vbase = (excl
-             + jnp.arange(3, dtype=jnp.int32)[:, None] * (kr + br)).reshape(-1)
+             + jnp.arange(nc, dtype=jnp.int32)[:, None] * (kr + br)
+             ).reshape(-1)
     bm, vals = compact_pallas(
         symbols, vbase, p=pp, kr=kr, br=br, v_blk=_pick_v_blk(nbk))
     bitmaps = bm.astype(jnp.uint8)
     ridx = jnp.arange(kr + br, dtype=jnp.int32)
     vals3 = jnp.where(
         ridx[None, :, None] < ch_rows[:, None, None],
-        vals.reshape(3, kr + br, NG), 0,
+        vals.reshape(nc, kr + br, NG), 0,
     )
-    values = vals3[:, :kr, :].reshape(3, kr * NG).astype(jnp.uint8)
+    values = vals3[:, :kr, :].reshape(nc, kr * NG).astype(jnp.uint8)
     from .ops.quant import build_histogram
 
     hists = jnp.concatenate([
@@ -333,8 +336,8 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, kr, v_b, v_v):
         jax.vmap(build_histogram)(values),
     ])
     thists = jnp.concatenate([
-        _table_hists(hists[:3], pp // 8, s_seg=s_seg, v_seg=v_b),
-        hists[3:],  # value planes are coded at exactly kcap symbols
+        _table_hists(hists[:nc], pp // 8, s_seg=s_seg, v_seg=v_b),
+        hists[nc:],  # value planes are coded at exactly kcap symbols
     ])
     freqs, cums = jax.vmap(freq_table_device)(thists)
     nb, mb = _segment_geometry(pp // 8, s_seg, v_b)
@@ -342,11 +345,11 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, kr, v_b, v_v):
     if mb != pp // 8:
         bmseg = jnp.pad(bmseg, ((0, 0), (0, mb - pp // 8)))
     streams_b, counts_b = encode_words_pallas(
-        bmseg.reshape(3 * nb, s_seg, NG), freqs[:3], cums[:3], v_seg=v_b)
+        bmseg.reshape(nc * nb, s_seg, NG), freqs[:nc], cums[:nc], v_seg=v_b)
     nv = kr // s_seg
     streams_v, counts_v = encode_words_pallas(
-        values.astype(jnp.int32).reshape(3 * nv, s_seg, NG),
-        freqs[3:], cums[3:], v_seg=v_v)
+        values.astype(jnp.int32).reshape(nc * nv, s_seg, NG),
+        freqs[nc:], cums[nc:], v_seg=v_v)
     return (
         jnp.concatenate([streams_b, streams_v], axis=0),
         jnp.concatenate([counts_b, counts_v], axis=0),
@@ -355,29 +358,30 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, kr, v_b, v_v):
 
 
 def _sparse_entropy_expand(streams, counts, hists, *, p, s_seg, kcap,
-                           v_b, v_v):
-    """Sparse decode front half: two entropy groups → expand → (3, p)
-    uint8 symbols (shared by the fixed-step and RDO sparse decoders)."""
+                           v_b, v_v, nc=3):
+    """Sparse decode front half: two entropy groups → expand → (nc, p)
+    uint8 symbols (shared by the fixed-step, RDO, and deep sparse
+    decoders)."""
     br = BLOCK_ROWS
     pp = _sparse_pp(p)
     kr = kcap // NG
     thists = jnp.concatenate([
-        _table_hists(hists[:3], pp // 8, s_seg=s_seg, v_seg=v_b),
-        hists[3:],
+        _table_hists(hists[:nc], pp // 8, s_seg=s_seg, v_seg=v_b),
+        hists[nc:],
     ])
     freqs, cums = jax.vmap(freq_table_device)(thists)
     nb, _ = _segment_geometry(pp // 8, s_seg, v_b)
     bm = decode_words_pallas(
-        streams[: 3 * nb], counts[: 3 * nb], freqs[:3], cums[:3],
+        streams[: nc * nb], counts[: nc * nb], freqs[:nc], cums[:nc],
         s_seg=s_seg, v_seg=v_b,
-    ).reshape(3, -1)[:, : pp // 8]
+    ).reshape(nc, -1)[:, : pp // 8]
     vals = decode_words_pallas(
-        streams[3 * nb :], counts[3 * nb :], freqs[3:], cums[3:],
+        streams[nc * nb :], counts[nc * nb :], freqs[nc:], cums[nc:],
         s_seg=s_seg, v_seg=v_v,
-    ).reshape(3, kr, NG)
+    ).reshape(nc, kr, NG)
     vbase, _ = value_row_bases(bm.astype(jnp.uint8), pp, kr + br, br=br)
     vals = jnp.pad(vals, ((0, 0), (0, br), (0, 0))).reshape(
-        3 * (kr + br), NG)
+        nc * (kr + br), NG)
     _, nbk = block_geometry(pp, br)
     symbols = expand_pallas(
         bm, vals, vbase, p=pp, kr=kr, br=br, v_blk=_pick_v_blk(nbk))
@@ -414,6 +418,23 @@ def _decode_chunk_sparse_rdo(streams, counts, hists, steps8, *,
     return decode_bands_device(
         symbols, steps8, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "s_seg", "kcap", "v_b", "v_v",
+    "exact", "levels"))
+def _decode_chunk_sparse_deep(streams, counts, hists, steps, *,
+                              wavelet_type, dims, padded, s_seg, kcap,
+                              v_b, v_v, exact=False, levels=1):
+    """Sparse entropy/expand over the 6 lo/hi byte planes + deep decode."""
+    p = padded[0] * padded[1] * padded[2]
+    planes = _sparse_entropy_expand(
+        streams, counts, hists, p=p, s_seg=s_seg, kcap=kcap, v_b=v_b,
+        v_v=v_v, nc=6)
+    return decode_deep_device(
+        planes, steps, wavelet_type=wavelet_type, dims=dims,
+        padded=padded, exact=exact, levels=levels,
     )
 
 
@@ -532,8 +553,11 @@ class DeviceChunk:
 
     @property
     def n_planes(self) -> int:
-        # sparse chunks carry 3 bitmap planes + 3 value planes
-        return 6 if (self.deep or self.sparse) else 3
+        # sparse chunks carry a bitmap plane + a value plane per byte
+        # plane (3 channels, or 6 lo/hi byte planes when deep)
+        if self.sparse:
+            return 12 if self.deep else 6
+        return 6 if self.deep else 3
 
     @property
     def n_segments(self) -> int:
@@ -602,18 +626,15 @@ class Alc3Codec:
         #: wall-clock win needs the planned segment-local Pallas
         #: compact/expand kernels (window one-hot pattern, no serial
         #: chain) before sparse can be the default fast path.
+        #: sparse composes with deep (each lo/hi byte plane gets its own
+        #: bitmap + compacted value plane — 12 planes), with rdo, and
+        #: with multi-level decomposition.
         self.sparse = bool(sparse)
-        if self.sparse and self.deep:
-            raise ValueError(
-                "sparse+deep composition lands with the 12-plane layout; "
-                "sparse currently composes with rdo and levels")
-        if self.rdo and self.sparse and self.levels != 1:
-            raise ValueError("rdo supports single-level decomposition only")
 
     # ── device path (HBM-resident, zero host traffic) ───────────
 
     def _sparse_phase2(self, symbols, ch_rows, pp, w, h, t, *,
-                       band_steps) -> DeviceChunk:
+                       band_steps, deep=False) -> DeviceChunk:
         """Shared sparse phase 2 with OPTIMISTIC capacity bucketing.
 
         Phase 2 dispatches immediately with the cached value-capacity
@@ -647,7 +668,7 @@ class Alc3Codec:
         return DeviceChunk(
             w, h, t, self.wavelet_type, self.step if band_steps is None
             else int(band_steps.min()), self.s_seg,
-            streams, counts, hists, band_steps=band_steps,
+            streams, counts, hists, band_steps=band_steps, deep=deep,
             levels=self.levels, sparse=True, kcap=kr * NG,
         )
 
@@ -699,6 +720,15 @@ class Alc3Codec:
             )
         if self.sparse:
             pp = _sparse_pp(p)
+            if self.deep:
+                planes, ch_rows = encode_deep_sparse_phase1(
+                    jnp.asarray(rgb), jnp.int32(self.step),
+                    jnp.int32(self.step), wavelet_type=self.wavelet_type,
+                    padded=padded, pp=pp, levels=self.levels,
+                )
+                return self._sparse_phase2(
+                    planes, ch_rows, pp, w, h, t, band_steps=None,
+                    deep=True)
             symbols, ch_rows = encode_sparse_phase1(
                 jnp.asarray(rgb), jnp.int32(self.step), jnp.int32(self.step),
                 wavelet_type=self.wavelet_type, padded=padded, pp=pp,
@@ -770,7 +800,9 @@ class Alc3Codec:
             pp = _sparse_pp(p)
             nb, _ = _segment_geometry(pp // 8, chunk.s_seg)
             nv = chunk.kcap // (chunk.s_seg * NG)
-            rgb = _decode_chunk_sparse(
+            dec = (_decode_chunk_sparse_deep if chunk.deep
+                   else _decode_chunk_sparse)
+            rgb = dec(
                 chunk.streams, chunk.counts, chunk.hists, steps,
                 wavelet_type=chunk.wavelet_type, dims=(w, h, t),
                 padded=padded, s_seg=chunk.s_seg, kcap=chunk.kcap,
@@ -922,9 +954,11 @@ class Alc3Codec:
             # recoverable from the value headers' num_symbols field)
             if ck.sparse:
                 pp = _sparse_pp(p)
+                nbm = 6 if ck.deep else 3  # byte planes → bitmap planes
                 nb, _ = _segment_geometry(pp // 8, ck.s_seg)
                 nv = ck.kcap // (ck.s_seg * NG)
-                plane_geom = [(nb, pp // 8)] * 3 + [(nv, ck.kcap)] * 3
+                plane_geom = ([(nb, pp // 8)] * nbm
+                              + [(nv, ck.kcap)] * nbm)
             else:
                 plane_geom = [(ck.n_segments, p)] * ck.n_planes
             row0 = 0
@@ -984,14 +1018,13 @@ class Alc3Codec:
             sparse = bool(flags & _FLAG_SPARSE)
             levels = ((flags >> 2) & 3) + 1
             p = int(np.prod(padded_dims_levels(w, h, f, levels)))
-            n_planes = 6 if (deep or sparse) else 3
+            nbm = 6 if deep else 3  # byte planes (bitmap planes if sparse)
+            n_planes = 2 * nbm if sparse else nbm
             band_steps = (
                 np.zeros((3, 8), np.int32) if flags & _FLAG_RDO else None
             )
             if band_steps is not None and deep:
                 raise InvalidBitstream("rdo and deep flags are exclusive")
-            if deep and sparse:
-                raise InvalidBitstream("deep and sparse flags are exclusive")
             hists = np.zeros((n_planes, 256), np.uint32)
             counts_list = []
             kcap = 0
@@ -1002,7 +1035,7 @@ class Alc3Codec:
                     raise InvalidBitstream("truncated ALC3 header section")
                 hdr = ChannelHeader.from_bytes(data[off : off + 1040])
                 off += 1040
-                if sparse and ch >= 3:
+                if sparse and ch >= nbm:
                     # value plane: capacity comes from its header
                     if hdr.num_symbols % seg or hdr.num_symbols == 0:
                         raise InvalidBitstream(

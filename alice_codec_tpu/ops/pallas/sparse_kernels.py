@@ -78,22 +78,24 @@ def value_row_bases(bitmaps: jnp.ndarray, p: int, kr_stride: int,
                     br: int = BLOCK_ROWS):
     """XLA prepass: per-block value row bases from the packed bitmaps.
 
-    ``bitmaps``: (3, P/8) uint8 (row-major over the (Pr/8, 128) byte
-    array).  Returns ``(vbase (3·nb,) int32 — ABSOLUTE row bases into the
-    flattened (3·kr_stride, 128) values array, ch_rows (3,) int32 — total
-    value rows per channel)``.
+    ``bitmaps``: (nc, P/8) uint8 (row-major over the (Pr/8, 128) byte
+    array; nc = 3 planes, or 6 for deep×sparse).  Returns ``(vbase
+    (nc·nb,) int32 — ABSOLUTE row bases into the flattened
+    (nc·kr_stride, 128) values array, ch_rows (nc,) int32 — total value
+    rows per plane)``.
     """
+    nc = bitmaps.shape[0]
     pr, nb = block_geometry(p, br)
     counts = jax.lax.population_count(
-        bitmaps.astype(jnp.uint8).reshape(3, nb, (br // 8) * NG)
-    ).astype(jnp.int32).sum(axis=-1)                       # (3, nb)
+        bitmaps.astype(jnp.uint8).reshape(nc, nb, (br // 8) * NG)
+    ).astype(jnp.int32).sum(axis=-1)                       # (nc, nb)
     rows = -(-counts // NG)                                # ceil → block rows
-    ch_rows = rows.sum(axis=-1)                            # (3,)
+    ch_rows = rows.sum(axis=-1)                            # (nc,)
     excl = jnp.cumsum(rows, axis=-1) - rows                # exclusive scan
     # clamp to capacity so a hostile bitmap (popcount beyond the declared
     # kcap) can never drive the expand kernel's window DMAs out of bounds
     excl = jnp.minimum(excl, kr_stride - br)
-    vbase = excl + jnp.arange(3, dtype=jnp.int32)[:, None] * kr_stride
+    vbase = excl + jnp.arange(nc, dtype=jnp.int32)[:, None] * kr_stride
     return vbase.reshape(-1).astype(jnp.int32), ch_rows
 
 
@@ -200,16 +202,17 @@ def compact_pallas(
     v_blk: int = DEFAULT_V_BLK,
     interpret: bool = False,
 ):
-    """Sparse compact: (3, P) int32/uint8 symbols → (bitmaps, values).
+    """Sparse compact: (nc, P) int32/uint8 symbols → (bitmaps, values).
 
-    ``vbase``: (3·nb,) absolute value row bases (:func:`value_row_bases`
-    with ``kr_stride = kr + br``).  Returns ``(bitmaps (3, P/8) int32
-    bytes, values (3·(kr+br), 128) int32)`` — values rows beyond each
-    channel's used rows are UNSPECIFIED; mask with ``ch_rows`` before
-    entropy coding (alc3 does).  ``kr`` = value capacity rows per channel.
+    ``vbase``: (nc·nb,) absolute value row bases (:func:`value_row_bases`
+    with ``kr_stride = kr + br``).  Returns ``(bitmaps (nc, P/8) int32
+    bytes, values (nc·(kr+br), 128) int32)`` — values rows beyond each
+    plane's used rows are UNSPECIFIED; mask with ``ch_rows`` before
+    entropy coding (alc3 does).  ``kr`` = value capacity rows per plane.
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
+    nc = symbols.shape[0]
     pr, nb = block_geometry(p, br)
     if nb % v_blk:
         raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
@@ -220,12 +223,12 @@ def compact_pallas(
     bm, vals = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((3 * pr // 8, NG), jnp.int32),
-            jax.ShapeDtypeStruct((3 * kr_stride, NG), jnp.int32),
+            jax.ShapeDtypeStruct((nc * pr // 8, NG), jnp.int32),
+            jax.ShapeDtypeStruct((nc * kr_stride, NG), jnp.int32),
         ),
-        grid=(3 * nb // v_blk,),
+        grid=(nc * nb // v_blk,),
         in_specs=[
-            pl.BlockSpec((1, 3 * nb), lambda s: (0, 0),
+            pl.BlockSpec((1, nc * nb), lambda s: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((v_blk * br, NG), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
@@ -242,10 +245,10 @@ def compact_pallas(
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(
-        vbase.astype(jnp.int32).reshape(1, 3 * nb),
-        symbols.astype(jnp.int32).reshape(3 * pr, NG),
+        vbase.astype(jnp.int32).reshape(1, nc * nb),
+        symbols.astype(jnp.int32).reshape(nc * pr, NG),
     )
-    return bm.reshape(3, p // 8), vals
+    return bm.reshape(nc, p // 8), vals
 
 
 # ── expand (decode side) ────────────────────────────────────────
@@ -325,28 +328,29 @@ def expand_pallas(
     v_blk: int = DEFAULT_V_BLK,
     interpret: bool = False,
 ):
-    """Sparse expand: (bitmaps (3, P/8), values (3·(kr+br), 128)) →
-    (3, P) int32 symbols.  Inverse of :func:`compact_pallas` (values rows
-    between a channel's used rows and ``kr`` must be zero — they are after
+    """Sparse expand: (bitmaps (nc, P/8), values (nc·(kr+br), 128)) →
+    (nc, P) int32 symbols.  Inverse of :func:`compact_pallas` (values rows
+    between a plane's used rows and ``kr`` must be zero — they are after
     entropy decode, which codes the explicit zero padding)."""
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
+    nc = bitmaps.shape[0]
     pr, nb = block_geometry(p, br)
     if nb % v_blk:
         raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
     if (v_blk * br // 8) % 8:
         raise ValueError("v_blk*br/8 must be a multiple of 8 (TPU sublanes)")
     kr_stride = kr + br
-    if values.shape != (3 * kr_stride, NG):
+    if values.shape != (nc * kr_stride, NG):
         raise ValueError(
-            f"values shape {values.shape} != {(3 * kr_stride, NG)}")
+            f"values shape {values.shape} != {(nc * kr_stride, NG)}")
     kernel = partial(_expand_kernel, v_blk, br, kr_stride)
     sym = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((3 * pr, NG), jnp.int32),
-        grid=(3 * nb // v_blk,),
+        out_shape=jax.ShapeDtypeStruct((nc * pr, NG), jnp.int32),
+        grid=(nc * nb // v_blk,),
         in_specs=[
-            pl.BlockSpec((1, 3 * nb), lambda s: (0, 0),
+            pl.BlockSpec((1, nc * nb), lambda s: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((v_blk * br // 8, NG), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
@@ -361,8 +365,8 @@ def expand_pallas(
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(
-        vbase.astype(jnp.int32).reshape(1, 3 * nb),
-        bitmaps.astype(jnp.int32).reshape(3 * pr // 8, NG),
+        vbase.astype(jnp.int32).reshape(1, nc * nb),
+        bitmaps.astype(jnp.int32).reshape(nc * pr // 8, NG),
         values.astype(jnp.int32),
     )
-    return sym.reshape(3, p)
+    return sym.reshape(nc, p)

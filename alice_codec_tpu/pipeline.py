@@ -313,6 +313,39 @@ def encode_sparse_phase1(
     return symbols, ch_rows
 
 
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels", "pp"))
+def encode_deep_sparse_phase1(
+    rgb: jnp.ndarray,
+    step: jnp.ndarray,
+    dead_zone: jnp.ndarray,
+    *,
+    wavelet_type: WaveletType,
+    padded: tuple[int, int, int],
+    pp: int,
+    levels: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """deep×sparse phase 1: the 6 lo/hi byte planes of
+    :func:`encode_deep_device`, block-padded, plus per-plane value-row
+    counts — each byte plane then rides the sparse pipeline independently
+    (its own bitmap + compacted values)."""
+    from .ops.pallas.sparse_kernels import BLOCK_ROWS
+
+    pw, ph, pf = padded
+    p = pf * ph * pw
+    planes, _ = encode_deep_device(
+        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
+        levels=levels,
+    )
+    if pp != p:
+        planes = jnp.pad(planes, ((0, 0), (0, pp - p)))
+    blk = BLOCK_ROWS * 128
+    cnt = jnp.sum(
+        (planes.reshape(6, pp // blk, blk) != 0).astype(jnp.int32), axis=-1
+    )
+    ch_rows = jnp.sum(-(-cnt // 128), axis=-1).astype(jnp.int32)
+    return planes, ch_rows
+
+
 # ── Container types ─────────────────────────────────────────────
 
 

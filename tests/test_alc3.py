@@ -552,3 +552,30 @@ def test_sparse_levels_composition():
     np.testing.assert_array_equal(
         codec2.decode(chunks2[0], as_numpy=True),
         sl.decode(ck, as_numpy=True))
+
+
+def test_deep_sparse_composition():
+    """deep×sparse (12-plane layout): lossless roundtrip at q=100 and
+    container roundtrip with both flags."""
+    rng = np.random.default_rng(97)
+    rgb = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    ds = Alc3Codec(quality=100, wavelet="haar", s_seg=8, sparse=True)
+    assert ds.deep and ds.sparse
+    ck = ds.encode(rgb)
+    assert ck.deep and ck.sparse and ck.n_planes == 12
+    out = ds.decode(ck, exact=True, as_numpy=True)
+    np.testing.assert_array_equal(out, rgb)
+    codec2, chunks2 = Alc3Codec.from_bytes(Alc3Codec.to_bytes(ck))
+    assert codec2.deep and codec2.sparse
+    assert chunks2[0].deep and chunks2[0].sparse
+    np.testing.assert_array_equal(
+        codec2.decode(chunks2[0], exact=True, as_numpy=True), rgb)
+
+
+def test_deep_sparse_lossy_matches_deep_dense():
+    rgb = _video(2, 8, 8, seed=98)
+    ds = Alc3Codec(quality=80, deep=True, sparse=True, s_seg=8)
+    dd = Alc3Codec(quality=80, deep=True, s_seg=8)
+    np.testing.assert_array_equal(
+        ds.decode(ds.encode(rgb), as_numpy=True),
+        dd.decode(dd.encode(rgb), as_numpy=True))
