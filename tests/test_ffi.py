@@ -7,6 +7,8 @@ import pytest
 
 from alice_codec_tpu.ffi import get_ffi_lib
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def lib():

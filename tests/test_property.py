@@ -11,8 +11,13 @@ Reference blocks covered (file:line of /root/reference):
   roundtrips under arbitrary skewed alphabets.
 """
 
+import os
+
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
+
+pytestmark = pytest.mark.slow
 
 from alice_codec_tpu.core import WaveletType
 from alice_codec_tpu.ops import color, wavelet
@@ -32,7 +37,12 @@ from alice_codec_tpu.ops.rans_word import (
     encode_segment_words,
 )
 
-_SETTINGS = dict(max_examples=25, deadline=None)
+# ALC_PROP_EXAMPLES trims the per-test example budget for quick local
+# iteration (e.g. 5 ≈ 1/5 the wall-clock); default matches CI coverage.
+_SETTINGS = dict(
+    max_examples=int(os.environ.get("ALC_PROP_EXAMPLES", "25")),
+    deadline=None,
+)
 
 _WAVELETS = [WaveletType.HAAR, WaveletType.CDF53, WaveletType.CDF97]
 
