@@ -73,6 +73,7 @@ from .ops.pallas.sparse_kernels import (
     block_geometry,
     compact_pallas,
     expand_pallas,
+    plane_row_bases,
     value_row_bases,
 )
 from .ops.quant import AnalyticalRDO
@@ -297,15 +298,29 @@ def _pick_v_blk(nb: int) -> int:
     return v
 
 
-@partial(jax.jit, static_argnames=("pp", "s_seg", "kr", "v_b", "v_v"))
-def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, kr, v_b, v_v):
-    """Sparse phase 2: Pallas compact → bitmap + value planes → two
-    entropy kernel groups.
+def _bucket_nv(need_rows: int, s_seg: int) -> int:
+    """Value-plane segment count covering ``need_rows`` value rows.
+
+    Multiples of 4 (so the kernels V-batch at v_seg=4) on a 3-bit
+    mantissa grid — ≤ ~14% capacity waste with a bounded number of jit
+    specializations per octave (round 2 used power-of-2 buckets: up to
+    2× waste, which the value kernels paid 1:1 in wall-clock)."""
+    nvu = max(4, -(-need_rows // s_seg))
+    nvu = -(-nvu // 4) * 4
+    g = 1 << max(2, (nvu - 1).bit_length() - 3)
+    return -(-nvu // g) * g
+
+
+@partial(jax.jit, static_argnames=("pp", "s_seg", "krs", "v_b"))
+def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b):
+    """Sparse phase 2: Pallas compact → bitmap + value planes → entropy
+    kernels.
 
     ``symbols``: (nc, pp) uint8 (nc = 3 channels, or 6 lo/hi byte planes
-    for deep×sparse); ``kr`` = value capacity rows per plane (kcap =
-    kr·128, segment-aligned).  Returns (streams, counts, hists) with the
-    bitmap group's nc·nb streams first, then the value group's nc·nv."""
+    for deep×sparse); ``krs``: per-plane value capacity rows (kcap_c =
+    krs[c]·128, segment-aligned — planes differ: chroma is far sparser
+    than luma).  Returns (streams, counts, hists) with the bitmap
+    group's nc·nb streams first, then each plane's value streams."""
     br = BLOCK_ROWS
     nc = symbols.shape[0]
     _, nbk = block_geometry(pp, br)
@@ -314,90 +329,99 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, kr, v_b, v_v):
         (symbols.reshape(nc, nbk, blk) != 0).astype(jnp.int32), axis=-1)
     rows = -(-cnt // NG)
     # clamp to capacity: encode() dispatches phase 2 OPTIMISTICALLY with
-    # the cached bucket and re-dispatches bigger if ch_rows overflowed —
+    # the cached buckets and re-dispatches bigger if ch_rows overflowed —
     # the clamp keeps the kernel's value-window DMAs in bounds meanwhile
-    excl = jnp.minimum(jnp.cumsum(rows, axis=-1) - rows, kr)
-    vbase = (excl
-             + jnp.arange(nc, dtype=jnp.int32)[:, None] * (kr + br)
-             ).reshape(-1)
+    excl = jnp.minimum(jnp.cumsum(rows, axis=-1) - rows,
+                       jnp.asarray(krs, jnp.int32)[:, None])
+    bases, _ = plane_row_bases(krs, br)
+    vbase = (excl + jnp.asarray(bases, jnp.int32)[:, None]).reshape(-1)
     bm, vals = compact_pallas(
-        symbols, vbase, p=pp, kr=kr, br=br, v_blk=_pick_v_blk(nbk))
+        symbols, vbase, p=pp, kr=krs, br=br, v_blk=_pick_v_blk(nbk))
     bitmaps = bm.astype(jnp.uint8)
-    ridx = jnp.arange(kr + br, dtype=jnp.int32)
-    vals3 = jnp.where(
-        ridx[None, :, None] < ch_rows[:, None, None],
-        vals.reshape(nc, kr + br, NG), 0,
-    )
-    values = vals3[:, :kr, :].reshape(nc, kr * NG).astype(jnp.uint8)
     from .ops.quant import build_histogram
 
+    # per-plane value slices (capacity rows only; mask the UNSPECIFIED
+    # rows between ch_rows and capacity to the zero padding symbol)
+    values = []
+    for c in range(nc):
+        region = jax.lax.dynamic_slice_in_dim(vals, bases[c], krs[c])
+        ridx = jnp.arange(krs[c], dtype=jnp.int32)
+        region = jnp.where(ridx[:, None] < ch_rows[c], region, 0)
+        values.append(region.reshape(krs[c] * NG).astype(jnp.uint8))
     hists = jnp.concatenate([
         jax.vmap(build_histogram)(bitmaps),
-        jax.vmap(build_histogram)(values),
+        jnp.stack([build_histogram(v) for v in values]),
     ])
-    thists = jnp.concatenate([
-        _table_hists(hists[:nc], pp // 8, s_seg=s_seg, v_seg=v_b),
-        hists[nc:],  # value planes are coded at exactly kcap symbols
-    ])
-    freqs, cums = jax.vmap(freq_table_device)(thists)
+    bm_thists = _table_hists(hists[:nc], pp // 8, s_seg=s_seg, v_seg=v_b)
+    bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
     nb, mb = _segment_geometry(pp // 8, s_seg, v_b)
     bmseg = bitmaps.astype(jnp.int32)
     if mb != pp // 8:
         bmseg = jnp.pad(bmseg, ((0, 0), (0, mb - pp // 8)))
     streams_b, counts_b = encode_words_pallas(
-        bmseg.reshape(nc * nb, s_seg, NG), freqs[:nc], cums[:nc], v_seg=v_b)
-    nv = kr // s_seg
-    streams_v, counts_v = encode_words_pallas(
-        values.astype(jnp.int32).reshape(nc * nv, s_seg, NG),
-        freqs[nc:], cums[nc:], v_seg=v_v)
+        bmseg.reshape(nc * nb, s_seg, NG), bm_freqs, bm_cums, v_seg=v_b)
+    # one dispatch per value plane (value planes are coded at exactly
+    # their own kcap_c symbols, each with its own table)
+    streams, counts = [streams_b], [counts_b]
+    for c in range(nc):
+        vf, vc = jax.vmap(freq_table_device)(hists[nc + c : nc + c + 1])
+        s_v, c_v = encode_words_pallas(
+            values[c].astype(jnp.int32).reshape(
+                krs[c] // s_seg, s_seg, NG),
+            vf, vc, v_seg=_pick_v_seg(krs[c] // s_seg))
+        streams.append(s_v)
+        counts.append(c_v)
     return (
-        jnp.concatenate([streams_b, streams_v], axis=0),
-        jnp.concatenate([counts_b, counts_v], axis=0),
+        jnp.concatenate(streams, axis=0),
+        jnp.concatenate(counts, axis=0),
         hists,
     )
 
 
-def _sparse_entropy_expand(streams, counts, hists, *, p, s_seg, kcap,
-                           v_b, v_v, nc=3):
-    """Sparse decode front half: two entropy groups → expand → (nc, p)
-    uint8 symbols (shared by the fixed-step, RDO, and deep sparse
-    decoders)."""
+def _sparse_entropy_expand(streams, counts, hists, *, p, s_seg, kcaps,
+                           v_b, nc=3):
+    """Sparse decode front half: bitmap + per-plane value entropy groups
+    → expand → (nc, p) uint8 symbols (shared by the fixed-step, RDO, and
+    deep sparse decoders).  ``kcaps``: per-plane value capacities."""
     br = BLOCK_ROWS
     pp = _sparse_pp(p)
-    kr = kcap // NG
-    thists = jnp.concatenate([
-        _table_hists(hists[:nc], pp // 8, s_seg=s_seg, v_seg=v_b),
-        hists[nc:],
-    ])
-    freqs, cums = jax.vmap(freq_table_device)(thists)
+    krs = tuple(k // NG for k in kcaps)
+    bm_thists = _table_hists(hists[:nc], pp // 8, s_seg=s_seg, v_seg=v_b)
+    bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
     nb, _ = _segment_geometry(pp // 8, s_seg, v_b)
     bm = decode_words_pallas(
-        streams[: nc * nb], counts[: nc * nb], freqs[:nc], cums[:nc],
+        streams[: nc * nb], counts[: nc * nb], bm_freqs, bm_cums,
         s_seg=s_seg, v_seg=v_b,
     ).reshape(nc, -1)[:, : pp // 8]
-    vals = decode_words_pallas(
-        streams[nc * nb :], counts[nc * nb :], freqs[nc:], cums[nc:],
-        s_seg=s_seg, v_seg=v_v,
-    ).reshape(nc, kr, NG)
-    vbase, _ = value_row_bases(bm.astype(jnp.uint8), pp, kr + br, br=br)
-    vals = jnp.pad(vals, ((0, 0), (0, br), (0, 0))).reshape(
-        nc * (kr + br), NG)
+    # per-plane value decode, padded with the br-row DMA margin each
+    parts = []
+    row0 = nc * nb
+    for c in range(nc):
+        nv = krs[c] // s_seg
+        vf, vc = jax.vmap(freq_table_device)(hists[nc + c : nc + c + 1])
+        v = decode_words_pallas(
+            streams[row0 : row0 + nv], counts[row0 : row0 + nv], vf, vc,
+            s_seg=s_seg, v_seg=_pick_v_seg(nv),
+        ).reshape(krs[c], NG)
+        parts.append(jnp.pad(v, ((0, br), (0, 0))))
+        row0 += nv
+    vals = jnp.concatenate(parts, axis=0)
+    vbase, _ = value_row_bases(bm.astype(jnp.uint8), pp, krs, br=br)
     _, nbk = block_geometry(pp, br)
     symbols = expand_pallas(
-        bm, vals, vbase, p=pp, kr=kr, br=br, v_blk=_pick_v_blk(nbk))
+        bm, vals, vbase, p=pp, kr=krs, br=br, v_blk=_pick_v_blk(nbk))
     return symbols[:, :p].astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "s_seg", "kcap", "v_b", "v_v",
+    "wavelet_type", "dims", "padded", "s_seg", "kcaps", "v_b",
     "exact", "levels"))
 def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
-                         dims, padded, s_seg, kcap, v_b, v_v, exact=False,
+                         dims, padded, s_seg, kcaps, v_b, exact=False,
                          levels=1):
     p = padded[0] * padded[1] * padded[2]
     symbols = _sparse_entropy_expand(
-        streams, counts, hists, p=p, s_seg=s_seg, kcap=kcap, v_b=v_b,
-        v_v=v_v)
+        streams, counts, hists, p=p, s_seg=s_seg, kcaps=kcaps, v_b=v_b)
     return decode_device(
         symbols, steps, steps, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact, levels=levels,
@@ -405,16 +429,15 @@ def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
 
 
 @partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "s_seg", "kcap", "v_b", "v_v",
+    "wavelet_type", "dims", "padded", "s_seg", "kcaps", "v_b",
     "exact"))
 def _decode_chunk_sparse_rdo(streams, counts, hists, steps8, *,
-                             wavelet_type, dims, padded, s_seg, kcap,
-                             v_b, v_v, exact=False):
+                             wavelet_type, dims, padded, s_seg, kcaps,
+                             v_b, exact=False):
     """Sparse entropy/expand front half + per-band RDO dequantization."""
     p = padded[0] * padded[1] * padded[2]
     symbols = _sparse_entropy_expand(
-        streams, counts, hists, p=p, s_seg=s_seg, kcap=kcap, v_b=v_b,
-        v_v=v_v)
+        streams, counts, hists, p=p, s_seg=s_seg, kcaps=kcaps, v_b=v_b)
     return decode_bands_device(
         symbols, steps8, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact,
@@ -422,16 +445,16 @@ def _decode_chunk_sparse_rdo(streams, counts, hists, steps8, *,
 
 
 @partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "s_seg", "kcap", "v_b", "v_v",
+    "wavelet_type", "dims", "padded", "s_seg", "kcaps", "v_b",
     "exact", "levels"))
 def _decode_chunk_sparse_deep(streams, counts, hists, steps, *,
-                              wavelet_type, dims, padded, s_seg, kcap,
-                              v_b, v_v, exact=False, levels=1):
+                              wavelet_type, dims, padded, s_seg, kcaps,
+                              v_b, exact=False, levels=1):
     """Sparse entropy/expand over the 6 lo/hi byte planes + deep decode."""
     p = padded[0] * padded[1] * padded[2]
     planes = _sparse_entropy_expand(
-        streams, counts, hists, p=p, s_seg=s_seg, kcap=kcap, v_b=v_b,
-        v_v=v_v, nc=6)
+        streams, counts, hists, p=p, s_seg=s_seg, kcaps=kcaps, v_b=v_b,
+        nc=6)
     return decode_deep_device(
         planes, steps, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact, levels=levels,
@@ -547,9 +570,10 @@ class DeviceChunk:
     #: dyadic decomposition depth (1 = reference-equivalent single level).
     levels: int = 1
     #: sparse chunk: 3 significance-bitmap planes + 3 compacted value
-    #: planes (kcap = value-plane capacity in symbols, segment-aligned).
+    #: planes (kcaps = per-value-plane capacity in symbols,
+    #: segment-aligned; planes differ — chroma is sparser than luma).
     sparse: bool = False
-    kcap: int = 0
+    kcaps: tuple[int, ...] = ()
 
     @property
     def n_planes(self) -> int:
@@ -620,56 +644,57 @@ class Alc3Codec:
         if self.rdo and self.levels != 1:
             raise ValueError("rdo supports single-level decomposition only")
         #: sparse significance coding: the entropy kernels see a P/8-byte
-        #: bitmap plus only the nonzero symbols.  Currently a RATE
-        #: optimization (measured 12.3× vs 10.7× at 1080p q=90): XLA's
-        #: dynamic gather/compaction runs at ~17 Msym/s on TPU, so the
-        #: wall-clock win needs the planned segment-local Pallas
-        #: compact/expand kernels (window one-hot pattern, no serial
-        #: chain) before sparse can be the default fast path.
-        #: sparse composes with deep (each lo/hi byte plane gets its own
-        #: bitmap + compacted value plane — 12 planes), with rdo, and
-        #: with multi-level decomposition.
+        #: bitmap plus only the nonzero symbols — a 3-5× entropy-stage
+        #: symbol reduction at production qualities AND a rate win
+        #: (12.3× vs 10.7× at 1080p q=90), with Pallas compact/expand
+        #: kernels (ops/pallas/sparse_kernels.py) doing the data
+        #: movement.  Composes with deep (each lo/hi byte plane gets its
+        #: own bitmap + compacted value plane — 12 planes), with rdo,
+        #: and with multi-level decomposition.
         self.sparse = bool(sparse)
 
     # ── device path (HBM-resident, zero host traffic) ───────────
 
     def _sparse_phase2(self, symbols, ch_rows, pp, w, h, t, *,
                        band_steps, deep=False) -> DeviceChunk:
-        """Shared sparse phase 2 with OPTIMISTIC capacity bucketing.
+        """Shared sparse phase 2 with OPTIMISTIC per-plane capacity
+        bucketing.
 
-        Phase 2 dispatches immediately with the cached value-capacity
-        bucket (keeping the device busy — no host sync before dispatch);
-        the tiny ``ch_rows`` fetch then validates the guess and only an
-        overflow re-dispatches with a larger bucket (the in-graph vbase
-        clamp keeps the optimistic run's DMAs in bounds).  Steady streams
-        of similar content pay zero extra dispatches.
+        Phase 2 dispatches immediately with the cached per-plane
+        value-capacity buckets (keeping the device busy — no host sync
+        before dispatch); the tiny ``ch_rows`` fetch then validates the
+        guess and only an overflow re-dispatches with larger buckets
+        (the in-graph vbase clamp keeps the optimistic run's DMAs in
+        bounds).  Steady streams of similar content pay zero extra
+        dispatches.
         """
         nb, _ = _segment_geometry(pp // 8, self.s_seg)
-        nv = getattr(self, "_nv_cache", None)
-        if nv is None:
-            # cold start: size the bucket from the actual counts rather
+        nc = symbols.shape[0]
+        krs = getattr(self, "_krs_cache", None)
+        if krs is None or len(krs) != nc:
+            # cold start: size the buckets from the actual counts rather
             # than paying a throwaway compile of a too-small phase 2
-            need = int(np.asarray(ch_rows).max())
-            nv = 4
-            while nv * self.s_seg < need:
-                nv *= 2
+            rows = np.asarray(ch_rows)
+            krs = tuple(
+                _bucket_nv(int(r), self.s_seg) * self.s_seg for r in rows)
         for _attempt in range(8):
-            kr = nv * self.s_seg
             streams, counts, hists = _encode_chunk_sparse(
-                symbols, ch_rows, pp=pp, s_seg=self.s_seg, kr=kr,
-                v_b=_pick_v_seg(nb), v_v=_pick_v_seg(nv),
+                symbols, ch_rows, pp=pp, s_seg=self.s_seg, krs=krs,
+                v_b=_pick_v_seg(nb),
             )
-            need = int(np.asarray(ch_rows).max())  # 12-byte fetch
-            if need <= kr:
+            rows = np.asarray(ch_rows)  # tiny fetch (4·nc bytes)
+            if all(int(r) <= k for r, k in zip(rows, krs)):
                 break
-            while nv * self.s_seg < need:
-                nv *= 2  # power-of-2 buckets bound the compile count
-        self._nv_cache = nv
+            krs = tuple(
+                max(k, _bucket_nv(int(r), self.s_seg) * self.s_seg)
+                for r, k in zip(rows, krs))
+        self._krs_cache = krs
         return DeviceChunk(
             w, h, t, self.wavelet_type, self.step if band_steps is None
             else int(band_steps.min()), self.s_seg,
             streams, counts, hists, band_steps=band_steps, deep=deep,
-            levels=self.levels, sparse=True, kcap=kr * NG,
+            levels=self.levels, sparse=True,
+            kcaps=tuple(k * NG for k in krs),
         )
 
     def encode(self, rgb) -> DeviceChunk:
@@ -777,13 +802,12 @@ class Alc3Codec:
                 p = int(np.prod(padded))
                 pp = _sparse_pp(p)
                 nb, _ = _segment_geometry(pp // 8, chunk.s_seg)
-                nv = chunk.kcap // (chunk.s_seg * NG)
                 rgb = _decode_chunk_sparse_rdo(
                     chunk.streams, chunk.counts, chunk.hists,
                     jnp.asarray(chunk.band_steps, jnp.int32),
                     wavelet_type=chunk.wavelet_type, dims=(w, h, t),
-                    padded=padded, s_seg=chunk.s_seg, kcap=chunk.kcap,
-                    v_b=_pick_v_seg(nb), v_v=_pick_v_seg(nv), exact=exact,
+                    padded=padded, s_seg=chunk.s_seg, kcaps=chunk.kcaps,
+                    v_b=_pick_v_seg(nb), exact=exact,
                 )
             else:
                 rgb = _decode_chunk_rdo(
@@ -799,14 +823,13 @@ class Alc3Codec:
             p = int(np.prod(padded))
             pp = _sparse_pp(p)
             nb, _ = _segment_geometry(pp // 8, chunk.s_seg)
-            nv = chunk.kcap // (chunk.s_seg * NG)
             dec = (_decode_chunk_sparse_deep if chunk.deep
                    else _decode_chunk_sparse)
             rgb = dec(
                 chunk.streams, chunk.counts, chunk.hists, steps,
                 wavelet_type=chunk.wavelet_type, dims=(w, h, t),
-                padded=padded, s_seg=chunk.s_seg, kcap=chunk.kcap,
-                v_b=_pick_v_seg(nb), v_v=_pick_v_seg(nv), exact=exact,
+                padded=padded, s_seg=chunk.s_seg, kcaps=chunk.kcaps,
+                v_b=_pick_v_seg(nb), exact=exact,
                 levels=chunk.levels,
             )
             return np.asarray(jax.device_get(rgb)) if as_numpy else rgb
@@ -950,15 +973,15 @@ class Alc3Codec:
             flags |= _FLAG_SPARSE if ck.sparse else 0
             buf.append(flags)
             # per-plane (segment count, num_symbols): sparse chunks carry
-            # 3 bitmap planes (pb symbols) then 3 value planes (kcap,
-            # recoverable from the value headers' num_symbols field)
+            # 3 bitmap planes (pp/8 symbols) then 3 value planes (each
+            # plane's capacity rides its header's num_symbols field)
             if ck.sparse:
                 pp = _sparse_pp(p)
                 nbm = 6 if ck.deep else 3  # byte planes → bitmap planes
                 nb, _ = _segment_geometry(pp // 8, ck.s_seg)
-                nv = ck.kcap // (ck.s_seg * NG)
                 plane_geom = ([(nb, pp // 8)] * nbm
-                              + [(nv, ck.kcap)] * nbm)
+                              + [(k // (ck.s_seg * NG), k)
+                                 for k in ck.kcaps])
             else:
                 plane_geom = [(ck.n_segments, p)] * ck.n_planes
             row0 = 0
@@ -1027,7 +1050,7 @@ class Alc3Codec:
                 raise InvalidBitstream("rdo and deep flags are exclusive")
             hists = np.zeros((n_planes, 256), np.uint32)
             counts_list = []
-            kcap = 0
+            kcaps = []
             step = 1
             seg = s_seg * NG
             for ch in range(n_planes):
@@ -1036,17 +1059,19 @@ class Alc3Codec:
                 hdr = ChannelHeader.from_bytes(data[off : off + 1040])
                 off += 1040
                 if sparse and ch >= nbm:
-                    # value plane: capacity comes from its header
+                    # value plane: capacity comes from its own header
+                    # (planes carry independent capacities)
                     if hdr.num_symbols % seg or hdr.num_symbols == 0:
                         raise InvalidBitstream(
                             "sparse value capacity not segment-aligned"
                         )
-                    if kcap and hdr.num_symbols != kcap:
+                    if hdr.num_symbols > _segment_geometry(
+                            _sparse_pp(p), s_seg)[1]:
                         raise InvalidBitstream(
-                            "inconsistent sparse value capacities"
+                            "sparse value capacity exceeds the plane size"
                         )
-                    kcap = hdr.num_symbols
-                    plane_sym = kcap
+                    kcaps.append(hdr.num_symbols)
+                    plane_sym = hdr.num_symbols
                 elif sparse:
                     plane_sym = _sparse_pp(p) // 8
                     if hdr.num_symbols != plane_sym:
@@ -1083,12 +1108,12 @@ class Alc3Codec:
                 step = hdr.quant_step
                 counts_list.append(ch_counts)
             metas.append((step, hists, counts_list, band_steps, deep,
-                          levels, sparse, kcap))
+                          levels, sparse, tuple(kcaps)))
 
         chunks = []
         segment_cap = w_rows * 128
         for (step, hists, counts_list, band_steps, deep, levels, sparse,
-             kcap) in metas:
+             kcaps) in metas:
             flat_counts = np.concatenate(counts_list)
             # validate BEFORE allocation/fill: every segment carries at
             # least the 2·NG state-flush words and at most the stream
@@ -1122,7 +1147,7 @@ class Alc3Codec:
                     deep=deep,
                     levels=levels,
                     sparse=sparse,
-                    kcap=kcap,
+                    kcaps=kcaps,
                 )
             )
         # recover quality from the step map step = max(64 - q*63/100, 1)

@@ -57,6 +57,7 @@ DEFAULT_V_BLK = 2
 __all__ = [
     "BLOCK_ROWS",
     "block_geometry",
+    "plane_row_bases",
     "value_row_bases",
     "compact_pallas",
     "expand_pallas",
@@ -74,17 +75,40 @@ def block_geometry(p: int, br: int = BLOCK_ROWS) -> tuple[int, int]:
     return pr, pr // br
 
 
-def value_row_bases(bitmaps: jnp.ndarray, p: int, kr_stride: int,
+def _norm_krs(krs, nc: int) -> tuple[int, ...]:
+    """Normalize a capacity spec to a per-plane tuple of value rows."""
+    if isinstance(krs, int):
+        return (krs,) * nc
+    krs = tuple(int(k) for k in krs)
+    if len(krs) != nc:
+        raise ValueError(f"{len(krs)} capacities for {nc} planes")
+    return krs
+
+
+def plane_row_bases(krs: tuple[int, ...], br: int = BLOCK_ROWS):
+    """Starting row of each plane's region in the flattened values array
+    (each plane occupies ``krs[c] + br`` rows: capacity + DMA margin)."""
+    bases, acc = [], 0
+    for k in krs:
+        bases.append(acc)
+        acc += k + br
+    return tuple(bases), acc
+
+
+def value_row_bases(bitmaps: jnp.ndarray, p: int, krs,
                     br: int = BLOCK_ROWS):
     """XLA prepass: per-block value row bases from the packed bitmaps.
 
     ``bitmaps``: (nc, P/8) uint8 (row-major over the (Pr/8, 128) byte
-    array; nc = 3 planes, or 6 for deep×sparse).  Returns ``(vbase
+    array; nc = 3 planes, or 6 for deep×sparse).  ``krs``: per-plane
+    value capacity rows (int = uniform) — planes may differ (chroma
+    planes are typically far sparser than luma).  Returns ``(vbase
     (nc·nb,) int32 — ABSOLUTE row bases into the flattened
-    (nc·kr_stride, 128) values array, ch_rows (nc,) int32 — total value
-    rows per plane)``.
+    (sum(krs)+nc·br, 128) values array, ch_rows (nc,) int32 — total
+    value rows per plane)``.
     """
     nc = bitmaps.shape[0]
+    krs = _norm_krs(krs, nc)
     pr, nb = block_geometry(p, br)
     counts = jax.lax.population_count(
         bitmaps.astype(jnp.uint8).reshape(nc, nb, (br // 8) * NG)
@@ -93,9 +117,11 @@ def value_row_bases(bitmaps: jnp.ndarray, p: int, kr_stride: int,
     ch_rows = rows.sum(axis=-1)                            # (nc,)
     excl = jnp.cumsum(rows, axis=-1) - rows                # exclusive scan
     # clamp to capacity so a hostile bitmap (popcount beyond the declared
-    # kcap) can never drive the expand kernel's window DMAs out of bounds
-    excl = jnp.minimum(excl, kr_stride - br)
-    vbase = excl + jnp.arange(nc, dtype=jnp.int32)[:, None] * kr_stride
+    # capacity) can never drive the expand kernel's window DMAs out of
+    # bounds (the br margin rows absorb the clamped block's window)
+    excl = jnp.minimum(excl, jnp.asarray(krs, jnp.int32)[:, None])
+    bases, _ = plane_row_bases(krs, br)
+    vbase = excl + jnp.asarray(bases, jnp.int32)[:, None]
     return vbase.reshape(-1).astype(jnp.int32), ch_rows
 
 
@@ -129,7 +155,7 @@ def _row_ranks(bits8, ltT, lt8):
 # ── compact (encode side) ───────────────────────────────────────
 
 
-def _compact_kernel(v_blk, br, kr_stride,
+def _compact_kernel(v_blk, br,
                     vbase_ref, sym_ref,
                     bm_ref, vals_hbm, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
@@ -197,7 +223,7 @@ def compact_pallas(
     vbase: jnp.ndarray,
     *,
     p: int,
-    kr: int,
+    kr,
     br: int = BLOCK_ROWS,
     v_blk: int = DEFAULT_V_BLK,
     interpret: bool = False,
@@ -205,26 +231,28 @@ def compact_pallas(
     """Sparse compact: (nc, P) int32/uint8 symbols → (bitmaps, values).
 
     ``vbase``: (nc·nb,) absolute value row bases (:func:`value_row_bases`
-    with ``kr_stride = kr + br``).  Returns ``(bitmaps (nc, P/8) int32
-    bytes, values (nc·(kr+br), 128) int32)`` — values rows beyond each
+    with the same ``kr``).  Returns ``(bitmaps (nc, P/8) int32 bytes,
+    values (sum(kr)+nc·br, 128) int32)`` — values rows beyond each
     plane's used rows are UNSPECIFIED; mask with ``ch_rows`` before
-    entropy coding (alc3 does).  ``kr`` = value capacity rows per plane.
+    entropy coding (alc3 does).  ``kr`` = value capacity rows per plane
+    (int, or a per-plane tuple).
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     nc = symbols.shape[0]
+    krs = _norm_krs(kr, nc)
     pr, nb = block_geometry(p, br)
     if nb % v_blk:
         raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
     if (v_blk * br // 8) % 8:
         raise ValueError("v_blk*br/8 must be a multiple of 8 (TPU sublanes)")
-    kr_stride = kr + br
-    kernel = partial(_compact_kernel, v_blk, br, kr_stride)
+    _, total_rows = plane_row_bases(krs, br)
+    kernel = partial(_compact_kernel, v_blk, br)
     bm, vals = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nc * pr // 8, NG), jnp.int32),
-            jax.ShapeDtypeStruct((nc * kr_stride, NG), jnp.int32),
+            jax.ShapeDtypeStruct((total_rows, NG), jnp.int32),
         ),
         grid=(nc * nb // v_blk,),
         in_specs=[
@@ -254,7 +282,7 @@ def compact_pallas(
 # ── expand (decode side) ────────────────────────────────────────
 
 
-def _expand_kernel(v_blk, br, kr_stride,
+def _expand_kernel(v_blk, br,
                    vbase_ref, bm_ref, vals_hbm,
                    sym_ref, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
@@ -323,28 +351,29 @@ def expand_pallas(
     vbase: jnp.ndarray,
     *,
     p: int,
-    kr: int,
+    kr,
     br: int = BLOCK_ROWS,
     v_blk: int = DEFAULT_V_BLK,
     interpret: bool = False,
 ):
-    """Sparse expand: (bitmaps (nc, P/8), values (nc·(kr+br), 128)) →
+    """Sparse expand: (bitmaps (nc, P/8), values (sum(kr)+nc·br, 128)) →
     (nc, P) int32 symbols.  Inverse of :func:`compact_pallas` (values rows
-    between a plane's used rows and ``kr`` must be zero — they are after
-    entropy decode, which codes the explicit zero padding)."""
+    between a plane's used rows and its capacity must be zero — they are
+    after entropy decode, which codes the explicit zero padding)."""
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     nc = bitmaps.shape[0]
+    krs = _norm_krs(kr, nc)
     pr, nb = block_geometry(p, br)
     if nb % v_blk:
         raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
     if (v_blk * br // 8) % 8:
         raise ValueError("v_blk*br/8 must be a multiple of 8 (TPU sublanes)")
-    kr_stride = kr + br
-    if values.shape != (nc * kr_stride, NG):
+    _, total_rows = plane_row_bases(krs, br)
+    if values.shape != (total_rows, NG):
         raise ValueError(
-            f"values shape {values.shape} != {(nc * kr_stride, NG)}")
-    kernel = partial(_expand_kernel, v_blk, br, kr_stride)
+            f"values shape {values.shape} != {(total_rows, NG)}")
+    kernel = partial(_expand_kernel, v_blk, br)
     sym = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nc * pr, NG), jnp.int32),

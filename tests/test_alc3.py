@@ -153,7 +153,7 @@ def test_sparse_matches_dense_reconstruction():
     sparse = Alc3Codec(quality=85, s_seg=8, sparse=True)
     out_d = dense.decode(dense.encode(rgb), as_numpy=True)
     ck = sparse.encode(rgb)
-    assert ck.sparse and ck.kcap > 0
+    assert ck.sparse and ck.kcaps and all(k > 0 for k in ck.kcaps)
     out_s = sparse.decode(ck, as_numpy=True)
     np.testing.assert_array_equal(out_s, out_d)
 
@@ -165,7 +165,7 @@ def test_sparse_container_roundtrip():
     data = Alc3Codec.to_bytes(chunk)
     codec2, chunks2 = Alc3Codec.from_bytes(data)
     assert codec2.sparse and chunks2[0].sparse
-    assert chunks2[0].kcap == chunk.kcap
+    assert chunks2[0].kcaps == chunk.kcaps
     np.testing.assert_array_equal(
         codec2.decode(chunks2[0], as_numpy=True),
         codec.decode(chunk, as_numpy=True),

@@ -35,8 +35,7 @@ def test_compact_expand_roundtrip_matches_spec(density):
     vals_spec = np.stack(
         [spec.compact_values(syms[c], kr * 128, br) for c in range(3)])
 
-    vbase, ch_rows = value_row_bases(
-        jnp.asarray(bm_spec), p, kr + br, br=br)
+    vbase, ch_rows = value_row_bases(jnp.asarray(bm_spec), p, kr, br=br)
     for c in range(3):
         assert int(ch_rows[c]) == spec.value_rows_needed(syms[c], br)
 
@@ -62,6 +61,45 @@ def test_compact_expand_roundtrip_matches_spec(density):
         vbase, p=p, kr=kr, br=br, v_blk=2)
     np.testing.assert_array_equal(
         np.asarray(out).astype(np.uint8), syms)
+
+
+def test_per_plane_capacities_roundtrip():
+    """Planes with very different densities get independent value
+    capacities (chroma ≪ luma); compact→expand must stay exact."""
+    br = 64
+    p = 4 * br * 128
+    rng = np.random.default_rng(7)
+    syms = np.stack([_channel_syms(p, d, rng) for d in (0.5, 0.02, 0.01)])
+
+    bm_spec = np.stack([spec.pack_bitmap(syms[c]) for c in range(3)])
+    krs = tuple(
+        max(-(-spec.value_rows_needed(syms[c], br) // 8) * 8, 8)
+        for c in range(3))
+    assert krs[0] > krs[1]  # the point of the feature
+
+    vbase, ch_rows = value_row_bases(jnp.asarray(bm_spec), p, krs, br=br)
+    bm_k, vals_k = compact_pallas(
+        jnp.asarray(syms), vbase, p=p, kr=krs, br=br, v_blk=2)
+    np.testing.assert_array_equal(
+        np.asarray(bm_k).astype(np.uint8), bm_spec)
+
+    # zero the unspecified rows (between each plane's used rows and its
+    # capacity+margin), as entropy decode would, then expand
+    vals = np.asarray(vals_k).copy()
+    base = 0
+    for c in range(3):
+        used = int(ch_rows[c])
+        np.testing.assert_array_equal(
+            vals[base : base + used].reshape(-1),
+            spec.compact_values(syms[c], krs[c] * 128, br)[: used * 128],
+            err_msg=f"plane {c} compacted values",
+        )
+        vals[base + used : base + krs[c] + br] = 0
+        base += krs[c] + br
+    out = expand_pallas(
+        jnp.asarray(bm_spec), jnp.asarray(vals), vbase,
+        p=p, kr=krs, br=br, v_blk=2)
+    np.testing.assert_array_equal(np.asarray(out).astype(np.uint8), syms)
 
 
 def test_spec_roundtrip_standalone():

@@ -95,7 +95,7 @@ for density in (0.0, 0.05, 0.5, 1.0):
     bm_spec = np.stack([sparse_spec.pack_bitmap(syms[c]) for c in range(3)])
     need = max(sparse_spec.value_rows_needed(syms[c], br) for c in range(3))
     kr = max(-(-need // 8) * 8, 8)
-    vbase, ch_rows = value_row_bases(jnp.asarray(bm_spec), p, kr + br, br=br)
+    vbase, ch_rows = value_row_bases(jnp.asarray(bm_spec), p, kr, br=br)
     bm_k, vals_k = compact_pallas(jnp.asarray(syms), vbase, p=p, kr=kr, br=br)
     if not np.array_equal(np.asarray(bm_k).astype(np.uint8), bm_spec):
         failures.append(f"compact bitmap d={density}")
