@@ -157,38 +157,6 @@ def _win_read(stream_ref, win, row_base, base, pos, mask):
     return 256.0 * d[0:1, :] + d[1:2, :]
 
 
-def _win_append(stream_ref, win, row_base, base, pos, words, mask):
-    """Scatter per-lane words into a 2-row window (dual of
-    :func:`_win_read`): a lane-axis contraction against a (128,128)
-    one-hot compacts the words to positions [0,128), then a dynamic
-    lane-roll places the span at ``base & 127`` across the two rows.
-
-    ``pos``: (1,128) int32 offsets relative to ``base`` (unique among
-    ``mask`` lanes); ``words``: (1,128) int32 < 2^16.
-    """
-    iota128_0, lane = win
-    r0 = base >> 7
-    sh = base & 127
-    p = jnp.where(mask, pos, -1)
-    oh = (p == iota128_0).astype(jnp.bfloat16)           # (128,128)
-    w2 = jnp.concatenate(
-        [jnp.where(mask, words >> 8, 0).astype(jnp.bfloat16),
-         jnp.where(mask, words & 255, 0).astype(jnp.bfloat16)], axis=0
-    )                                                    # (2,128)
-    c = jax.lax.dot_general(
-        w2, oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                    # (2,128): [hi; lo]
-    v = (256.0 * c[0:1, :] + c[1:2, :]).astype(jnp.int32)
-    vr = pltpu.roll(v, sh, 1)
-    rows = stream_ref[pl.ds(row_base + r0, 2), :]
-    add = jnp.concatenate(
-        [jnp.where(lane >= sh, vr, 0), jnp.where(lane < sh, vr, 0)],
-        axis=0,
-    )
-    stream_ref[pl.ds(row_base + r0, 2), :] = rows + add
-
-
 # ── decode ──────────────────────────────────────────────────────
 
 
@@ -352,6 +320,39 @@ def decode_words_pallas(
 # ── encode ──────────────────────────────────────────────────────
 
 
+def _reg_append(win, cur, pos, words, mask, w0):
+    """Append per-lane words into the REGISTER-resident row window.
+
+    Same compaction as :func:`_win_append` (lane contraction against a
+    (128,128) one-hot, then a dynamic lane-roll to ``cur & 127``), but
+    the accumulation happens in vector registers: no stream-row reads,
+    no read-modify-write dependency through VMEM.  ``w0`` is the active
+    (partial) stream row ``cur >> 7``.  Returns ``(full, wrap, k)``:
+    ``full`` = w0 plus this append's words landing in the active row,
+    ``wrap`` = the words spilling into row ``(cur >> 7) + 1`` (nonzero
+    only when the append crosses the row boundary, i.e. (cur & 127) + k
+    ≥ 128), ``k`` = appended word count.
+    """
+    iota128_0, lane = win
+    sh = cur & 127
+    p = jnp.where(mask, pos, -1)
+    oh = (p == iota128_0).astype(jnp.bfloat16)           # (128,128)
+    w2 = jnp.concatenate(
+        [jnp.where(mask, words >> 8, 0).astype(jnp.bfloat16),
+         jnp.where(mask, words & 255, 0).astype(jnp.bfloat16)], axis=0
+    )                                                    # (2,128)
+    c = jax.lax.dot_general(
+        w2, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # (2,128): [hi; lo]
+    v = (256.0 * c[0:1, :] + c[1:2, :]).astype(jnp.int32)
+    vr = pltpu.roll(v, sh, 1)
+    k = jnp.sum(mask.astype(jnp.int32))
+    full = w0 + jnp.where(lane >= sh, vr, 0)
+    wrap = jnp.where(lane < sh, vr, 0)
+    return full, wrap, k
+
+
 def _encode_kernel(v_seg, s_seg, w_rows,
                    sym_ref, fc_hi_ref, fc_lo_ref,
                    stream_ref, counts_ref):
@@ -360,7 +361,7 @@ def _encode_kernel(v_seg, s_seg, w_rows,
 
     stream_ref[:, :] = jnp.zeros(stream_ref.shape, stream_ref.dtype)
 
-    def one(v, i, x, cur):
+    def one(v, i, x, cur, w0):
         row = sym_ref[pl.ds(v * s_seg + (s_seg - 1 - i), 1), :]  # LIFO rows
         shi = row >> 4
         slo = row & 15
@@ -376,21 +377,27 @@ def _encode_kernel(v_seg, s_seg, w_rows,
         c = c_f.astype(jnp.int32).astype(jnp.uint32)
         emit = (x >> 20) >= f
         w = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        k = jnp.sum(emit.astype(jnp.int32))
         rank = jax.lax.dot_general(
             emit.astype(jnp.bfloat16), ltT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
-        _win_append(stream_ref, win, v * w_rows, cur, rank, w, emit)
+        full, wrap, k = _reg_append(win, cur, rank, w, emit, w0)
+        # the active row is stored UNCONDITIONALLY every step (last store
+        # wins); on a row crossing the stored row is final and the window
+        # slides to the wrap row — registers hold the authoritative
+        # content, so the store never feeds back into the chain.
+        stream_ref[pl.ds(v * w_rows + (cur >> 7), 1), :] = full
+        ncur = cur + k
+        w0 = jnp.where((ncur >> 7) != (cur >> 7), wrap, full)
         x = jnp.where(emit, x >> 16, x)
         q = x // f
         x = (q << PROB_BITS) + (x - q * f) + c
-        return x, cur + k
+        return x, ncur, w0
 
     def body(i, carry):
-        xs, cs = carry
-        outs = [one(v, i, xs[v], cs[v]) for v in range(v_seg)]
-        return tuple(o[0] for o in outs), tuple(o[1] for o in outs)
+        xs, cs, w0s = carry
+        outs = [one(v, i, xs[v], cs[v], w0s[v]) for v in range(v_seg)]
+        return tuple(zip(*outs))
 
     def body_u(i, carry):
         for u in range(_UNROLL):
@@ -399,20 +406,28 @@ def _encode_kernel(v_seg, s_seg, w_rows,
 
     x0 = tuple(jnp.full((1, NG), WORD_L, jnp.uint32) for _ in range(v_seg))
     c0 = tuple(jnp.int32(0) for _ in range(v_seg))
-    xs, curs = jax.lax.fori_loop(0, s_seg // _UNROLL, body_u, (x0, c0))
+    wz = tuple(jnp.zeros((1, NG), jnp.int32) for _ in range(v_seg))
+    xs, curs, w0s = jax.lax.fori_loop(
+        0, s_seg // _UNROLL, body_u, (x0, c0, wz))
 
-    # per-segment state flush: hi row then lo row, lane-ascending; counts
-    # broadcast into (8,128) sub-blocks (per-slot scalar outputs violate
-    # the TPU tiling rules; callers read element [v·8, 0]).
+    # per-segment state flush: hi row then lo row, lane-ascending (two
+    # full-row appends — each crosses exactly one row boundary, so the
+    # stored ``full`` row is final and ``wrap`` becomes the new active
+    # row); counts broadcast into (8,128) sub-blocks (per-slot scalar
+    # outputs violate the TPU tiling rules; callers read element [v·8, 0]).
     ones = lane_iota >= 0
     for v in range(v_seg):
-        _win_append(stream_ref, win, v * w_rows, curs[v], lane_iota,
-                    (xs[v] >> 16).astype(jnp.int32), ones)
-        _win_append(stream_ref, win, v * w_rows, curs[v] + NG,
-                    lane_iota, (xs[v] & jnp.uint32(0xFFFF)).astype(jnp.int32),
-                    ones)
+        x, cur, w0 = xs[v], curs[v], w0s[v]
+        for words in ((x >> 16).astype(jnp.int32),
+                      (x & jnp.uint32(0xFFFF)).astype(jnp.int32)):
+            full, wrap, _ = _reg_append(win, cur, lane_iota, words, ones,
+                                        w0)
+            stream_ref[pl.ds(v * w_rows + (cur >> 7), 1), :] = full
+            w0 = wrap
+            cur = cur + NG
+        stream_ref[pl.ds(v * w_rows + (cur >> 7), 1), :] = w0
         counts_ref[v * 8 : (v + 1) * 8, :] = jnp.full(
-            (8, 128), curs[v] + 2 * NG, jnp.int32
+            (8, 128), cur, jnp.int32
         )
 
 
