@@ -284,8 +284,11 @@ _decode_chunk_batch = jax.jit(
 
 def _sparse_pp(p: int) -> int:
     """Channel symbols padded to whole compaction blocks (the sparse wire
-    codes this padded plane; decoders strip back to ``p``)."""
-    blk = BLOCK_ROWS * NG
+    codes this padded plane; decoders strip back to ``p``).  Padded to
+    DEFAULT_V_BLK blocks so the kernels always get their full chain
+    interleaving (1080p×64 gives 2025 blocks — an odd count that would
+    otherwise force v_blk=1, serializing the kernels)."""
+    blk = BLOCK_ROWS * NG * DEFAULT_V_BLK
     return -(-p // blk) * blk
 
 

@@ -51,8 +51,12 @@ from .rans3_kernels import NG, _compiler_params
 #: pixel rows per compaction block (BR·128 = 65536 pixels; value scratch =
 #: (BR+8)·512 B ≈ 266 KB of VMEM per v-slot).
 BLOCK_ROWS = 512
-#: blocks processed per grid slot as independent dataflow chains.
-DEFAULT_V_BLK = 2
+#: blocks processed per grid slot as independent dataflow chains.  alc3
+#: pads the sparse plane so the per-channel block count is always a
+#: multiple of this (1080p×64 gives nb=2025 blocks — without padding the
+#: odd count forced v_blk=1, i.e. NO chain interleaving on the flagship
+#: shape).
+DEFAULT_V_BLK = 4
 
 __all__ = [
     "BLOCK_ROWS",
@@ -159,50 +163,64 @@ def _compact_kernel(v_blk, br,
                     vbase_ref, sym_ref,
                     bm_ref, vals_hbm, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
+    iota128_0, lane = win
     slot = pl.program_id(0)
     bm8 = br // 8
 
-    for v in range(v_blk):
-        scratch[pl.ds(v * (br + 8), br + 8), :] = jnp.zeros(
-            (br + 8, NG), jnp.int32)
+    # zero tails are load-bearing: block k's zero tail is block k+1's
+    # data region in the overlapped HBM write-out below.
+    scratch[:, :] = jnp.zeros(scratch.shape, jnp.int32)
 
-        def tile(g, cur, v=v):
-            rows = sym_ref[pl.ds(v * br + 8 * g, 8), :]
-            bits = (rows != 0).astype(jnp.int32)               # (8,NG)
-            # bitmap byte row: bit j = pixel row 8g+j
-            byte = jnp.sum(bits << iota8_0, axis=0, keepdims=True)
-            bm_ref[pl.ds(v * bm8 + g, 1), :] = byte
-            tile_cnt = jnp.sum(bits)
+    def one(v, g, cur):
+        rows = sym_ref[pl.ds(v * br + 8 * g, 8), :]
+        bits = (rows != 0).astype(jnp.int32)                   # (8,NG)
+        # bitmap byte row: bit j = pixel row 8g+j
+        byte = jnp.sum(bits << iota8_0, axis=0, keepdims=True)
+        bm_ref[pl.ds(v * bm8 + g, 1), :] = byte
+        tile_cnt = jnp.sum(bits)
 
-            @pl.when(tile_cnt > 0)
-            def _scatter():
-                rank, off = _row_ranks(bits, ltT, lt8)
-                iota128_0, lane = win
-                for j in range(8):
-                    cur_j = cur + off[j, 0]
-                    mask = bits[j : j + 1, :] == 1
-                    word = jnp.where(mask, rows[j : j + 1, :], 0)
-                    # 2-row window scatter at cur_j + rank: compact the
-                    # words to [0,128) with one (128,128) one-hot dot,
-                    # then lane-roll the span to cur_j & 127 (the rans3
-                    # _win_append scheme, u8-exact single dot)
-                    r0 = cur_j >> 7
-                    sh = cur_j & 127
-                    pp = jnp.where(mask, rank[j : j + 1, :], -1)
-                    oh = (pp == iota128_0).astype(jnp.bfloat16)
-                    c = jax.lax.dot_general(
-                        word.astype(jnp.bfloat16), oh,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # (1,128)
-                    vr = pltpu.roll(c.astype(jnp.int32), sh, 1)
-                    two = scratch[pl.ds(v * (br + 8) + r0, 2), :]
-                    add = jnp.concatenate(
-                        [jnp.where(lane >= sh, vr, 0),
-                         jnp.where(lane < sh, vr, 0)], axis=0)
-                    scratch[pl.ds(v * (br + 8) + r0, 2), :] = two + add
-            return cur + tile_cnt
+        @pl.when(tile_cnt > 0)
+        def _scatter():
+            rank, off = _row_ranks(bits, ltT, lt8)
+            srow = v * (br + 8)
+            # level 1: per-row left-compaction — 8 INDEPENDENT one-hot
+            # dots (words of row j land at lanes [0, cnt_j)); the
+            # scheduler overlaps them freely.
+            vals = []
+            for j in range(8):
+                mask = bits[j : j + 1, :] == 1
+                word = jnp.where(mask, rows[j : j + 1, :], 0)
+                pp = jnp.where(mask, rank[j : j + 1, :], -1)
+                oh = (pp == iota128_0).astype(jnp.bfloat16)
+                c = jax.lax.dot_general(
+                    word.astype(jnp.bfloat16), oh,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (1,128)
+                vals.append(c.astype(jnp.int32))
+            # level 2: register append chain over the compacted rows —
+            # the active stream row lives in a register (read once per
+            # tile), appends are roll+where+add, and each step stores
+            # the active row unconditionally (last store wins; the rans3
+            # encode-kernel scheme — no per-row read-modify-write).
+            w0 = scratch[pl.ds(srow + (cur >> 7), 1), :]
+            for j in range(8):
+                cur_j = cur + off[j, 0]
+                ncur_j = cur + (off[j + 1, 0] if j < 7 else tile_cnt)
+                sh = cur_j & 127
+                vr = pltpu.roll(vals[j], sh, 1)
+                full = w0 + jnp.where(lane >= sh, vr, 0)
+                scratch[pl.ds(srow + (cur_j >> 7), 1), :] = full
+                w0 = jnp.where((ncur_j >> 7) != (cur_j >> 7),
+                               jnp.where(lane < sh, vr, 0), full)
+            scratch[pl.ds(srow + ((cur + tile_cnt) >> 7), 1), :] = w0
+        return cur + tile_cnt
 
-        jax.lax.fori_loop(0, bm8, tile, jnp.int32(0))
+    def tile(g, curs):
+        # v_blk blocks advance together as independent chains (their op
+        # latencies interleave — the same V-batching as rans3_kernels).
+        return tuple(one(v, g, curs[v]) for v in range(v_blk))
+
+    jax.lax.fori_loop(0, bm8, tile, (jnp.int32(0),) * v_blk)
 
     # SEQUENTIAL write-out: consecutive blocks' value windows overlap
     # (block k's zero tail is block k+1's data region), so the DMAs must
@@ -306,42 +324,50 @@ def _expand_kernel(v_blk, br,
             sems.at[v],
         ).wait()
 
-        def tile(g, cur, v=v):
-            byte = bm_ref[pl.ds(v * bm8 + g, 1), :]            # (1,NG)
-            bits = (byte >> iota8_0) & 1                       # (8,NG)
-            tile_cnt = jnp.sum(bits)
+    iota128_0, lane = win
 
-            @pl.when(tile_cnt == 0)
-            def _zeros():
-                sym_ref[pl.ds(v * br + 8 * g, 8), :] = jnp.zeros(
-                    (8, NG), jnp.int32)
+    def one(v, g, cur):
+        byte = bm_ref[pl.ds(v * bm8 + g, 1), :]                # (1,NG)
+        bits = (byte >> iota8_0) & 1                           # (8,NG)
+        tile_cnt = jnp.sum(bits)
 
-            @pl.when(tile_cnt > 0)
-            def _gather():
-                rank, off = _row_ranks(bits, ltT, lt8)
-                iota128_0, lane = win
-                for j in range(8):
-                    cur_j = cur + off[j, 0]
-                    mask = bits[j : j + 1, :] == 1
-                    # 2-row window gather at cur_j + rank: lane-roll the
-                    # window span to lane 0, then one (128,128) one-hot
-                    # dot (the rans3 _win_read scheme, u8-exact)
-                    r0 = cur_j >> 7
-                    sh = cur_j & 127
-                    two = scratch[pl.ds(v * (br + 8) + r0, 2), :]
-                    rot = pltpu.roll(two, -sh, 1)
-                    w = jnp.where(lane < NG - sh, rot[0:1, :], rot[1:2, :])
-                    pp = jnp.where(mask, rank[j : j + 1, :], -1)
-                    oh = (pp == iota128_0).astype(jnp.bfloat16)
-                    out = jax.lax.dot_general(
-                        w.astype(jnp.bfloat16), oh,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    sym_ref[pl.ds(v * br + 8 * g + j, 1), :] = jnp.where(
-                        mask, out.astype(jnp.int32), 0)
-            return cur + tile_cnt
+        @pl.when(tile_cnt == 0)
+        def _zeros():
+            sym_ref[pl.ds(v * br + 8 * g, 8), :] = jnp.zeros(
+                (8, NG), jnp.int32)
 
-        jax.lax.fori_loop(0, bm8, tile, jnp.int32(0))
+        @pl.when(tile_cnt > 0)
+        def _gather():
+            rank, off = _row_ranks(bits, ltT, lt8)
+            for j in range(8):
+                cur_j = cur + off[j, 0]
+                mask = bits[j : j + 1, :] == 1
+                # 2-row window gather at cur_j + rank: lane-roll the
+                # window span to lane 0, then one (128,128) one-hot
+                # dot (the rans3 _win_read scheme, u8-exact).  The 8
+                # row gathers are independent given ``cur`` (off is a
+                # prepass) — the scheduler overlaps them.
+                r0 = cur_j >> 7
+                sh = cur_j & 127
+                two = scratch[pl.ds(v * (br + 8) + r0, 2), :]
+                rot = pltpu.roll(two, -sh, 1)
+                w = jnp.where(lane < NG - sh, rot[0:1, :], rot[1:2, :])
+                pp = jnp.where(mask, rank[j : j + 1, :], -1)
+                oh = (pp == iota128_0).astype(jnp.bfloat16)
+                out = jax.lax.dot_general(
+                    w.astype(jnp.bfloat16), oh,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sym_ref[pl.ds(v * br + 8 * g + j, 1), :] = jnp.where(
+                    mask, out.astype(jnp.int32), 0)
+        return cur + tile_cnt
+
+    def tile(g, curs):
+        # v_blk blocks advance together as independent chains (the same
+        # V-batching as rans3_kernels).
+        return tuple(one(v, g, curs[v]) for v in range(v_blk))
+
+    jax.lax.fori_loop(0, bm8, tile, (jnp.int32(0),) * v_blk)
 
 
 @partial(jax.jit, static_argnames=("p", "kr", "br", "v_blk", "interpret"))
