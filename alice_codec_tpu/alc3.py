@@ -104,6 +104,14 @@ _MAGIC3 = b"ALC3"
 #: ops/pallas/sparse_kernels.py (bitmap bit order + value order changed);
 #: dense/deep/rdo chunk bytes are unchanged from v2.
 _VERSION3 = 3
+#: histogram subsampling stride for ALC3 table seeding (see
+#: pipeline._hist_sample) — the full-plane one-hot histogram was the
+#: single biggest transform-stage item at 1080p (98 ms measured).  The
+#: stored (wire) histograms are the sampled ones, so encode and decode
+#: build identical tables; _table_hists scales the padding mass by the
+#: same stride to keep proportions.
+HIST_STRIDE = 16
+
 _FLAG_RDO = 1
 _FLAG_DEEP = 2
 _FLAG_SPARSE = 16  # bits 2-3 hold the decomposition depth
@@ -136,7 +144,8 @@ def _table_hists(hists, nsym: int, *, s_seg: int,
     _, m = _segment_geometry(nsym, s_seg, v_seg)
     if m == nsym:
         return hists
-    return hists.at[..., 0].add(jnp.uint32(m - nsym))
+    pad = -(-(m - nsym) // HIST_STRIDE)  # scaled like the sampled hists
+    return hists.at[..., 0].add(jnp.uint32(pad))
 
 
 def _pick_v_seg(n_seg: int) -> int:
@@ -155,7 +164,7 @@ def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg,
     """Full fused encode: RGB (T,H,W,3) uint8 → (streams, counts, hists)."""
     symbols, hists = encode_device(
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
-        levels=levels,
+        levels=levels, hist_stride=HIST_STRIDE,
     )
     p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
@@ -186,7 +195,7 @@ def _encode_chunk_deep(rgb, step, dead_zone, *, wavelet_type, padded,
     """Deep (16-bit symbol) fused encode: 6 planes, 6 tables."""
     planes, hists = encode_deep_device(
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
-        levels=levels,
+        levels=levels, hist_stride=HIST_STRIDE,
     )
     p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
@@ -231,7 +240,7 @@ def _encode_batch_core(rgb, step, dead_zone, *, wavelet_type, padded,
     symbols, hists = jax.vmap(
         lambda r: encode_device(
             r, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
-            levels=levels,
+            levels=levels, hist_stride=HIST_STRIDE,
         )
     )(rgb)                                    # (B,3,P), (B,3,256)
     p = padded[0] * padded[1] * padded[2]
@@ -342,6 +351,7 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b):
         symbols, vbase, p=pp, kr=krs, br=br, v_blk=_pick_v_blk(nbk))
     bitmaps = bm.astype(jnp.uint8)
     from .ops.quant import build_histogram
+    from .pipeline import _hist_sample
 
     # per-plane value slices (capacity rows only; mask the UNSPECIFIED
     # rows between ch_rows and capacity to the zero padding symbol)
@@ -352,8 +362,11 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b):
         region = jnp.where(ridx[:, None] < ch_rows[c], region, 0)
         values.append(region.reshape(krs[c] * NG).astype(jnp.uint8))
     hists = jnp.concatenate([
-        jax.vmap(build_histogram)(bitmaps),
-        jnp.stack([build_histogram(v) for v in values]),
+        jax.vmap(build_histogram)(_hist_sample(bitmaps, HIST_STRIDE)),
+        jnp.stack([
+            build_histogram(_hist_sample(v[None, :], HIST_STRIDE))
+            for v in values
+        ]),
     ])
     bm_thists = _table_hists(hists[:nc], pp // 8, s_seg=s_seg, v_seg=v_b)
     bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
@@ -486,7 +499,8 @@ def _bands_sparse_phase15(coeffs, steps8, dzs8, *, padded, pp):
 def _encode_chunk_rdo(coeffs, steps8, dzs8, *, padded, s_seg, v_seg):
     """RDO phase-2 fused encode: (coeffs, per-band steps) →
     (streams, counts, hists)."""
-    symbols, hists = encode_bands_device(coeffs, steps8, dzs8, padded=padded)
+    symbols, hists = encode_bands_device(
+        coeffs, steps8, dzs8, padded=padded, hist_stride=HIST_STRIDE)
     p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
         _table_hists(hists, p, s_seg=s_seg, v_seg=v_seg))

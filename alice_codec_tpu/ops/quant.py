@@ -43,6 +43,11 @@ __all__ = [
     "to_symbols16",
     "from_symbols16",
     "build_histogram",
+    "band_index_inter",
+    "band_broadcast_inter",
+    "quantize_bands_inter",
+    "dequantize_bands_inter",
+    "band_moments_inter",
     "band_broadcast",
     "quantize_bands",
     "dequantize_bands",
@@ -204,6 +209,63 @@ def dequantize_bands(qcoeffs: jnp.ndarray, steps8) -> jnp.ndarray:
     """Inverse of :func:`quantize_bands`: per-band ``q * step``."""
     step_v = band_broadcast(jnp.asarray(steps8), qcoeffs.shape)
     return qcoeffs.astype(jnp.int32) * step_v
+
+
+def band_index_inter(vol_shape: tuple[int, int, int]) -> jnp.ndarray:
+    """Per-element SubBand3D index for the INTERLEAVED wavelet layout
+    (wavelet.forward_3d_inter, single level): band bits come straight
+    from index parity — bit y = h&1, x = w&1, t = t&1 (the same
+    ``y*4 + x*2 + t`` order band_broadcast uses)."""
+    t, h, w = vol_shape[-3:]
+    it = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 0) & 1
+    ih = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 1) & 1
+    iw = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 2) & 1
+    return ih * 4 + iw * 2 + it
+
+
+def band_broadcast_inter(values8: jnp.ndarray,
+                         vol_shape: tuple[int, ...]) -> jnp.ndarray:
+    """Interleaved-layout :func:`band_broadcast`: per-band scalars to a
+    volume via parity masks — 8 fused wheres, no gather, no reshape."""
+    b = band_index_inter(vol_shape)
+    v8 = jnp.asarray(values8).astype(jnp.int32)
+    lead = v8.shape[:-1]
+    out = jnp.zeros((*lead, *vol_shape[-3:]), jnp.int32)
+    for k in range(8):
+        out = jnp.where(b == k, v8[..., k, None, None, None], out)
+    return out
+
+
+def quantize_bands_inter(coeffs: jnp.ndarray, steps8, dead_zones8):
+    """:func:`quantize_bands` for the interleaved layout."""
+    step_v = band_broadcast_inter(jnp.asarray(steps8), coeffs.shape)
+    dz_v = band_broadcast_inter(jnp.asarray(dead_zones8), coeffs.shape)
+    return quantize(coeffs, step_v, dz_v)
+
+
+def dequantize_bands_inter(qcoeffs: jnp.ndarray, steps8) -> jnp.ndarray:
+    """:func:`dequantize_bands` for the interleaved layout."""
+    step_v = band_broadcast_inter(jnp.asarray(steps8), qcoeffs.shape)
+    return qcoeffs.astype(jnp.int32) * step_v
+
+
+def band_moments_inter(coeffs: jnp.ndarray):
+    """:func:`band_moments` for the interleaved layout: identical per-band
+    sums (order-independent integer arithmetic) via parity masks."""
+    import jax
+
+    b = band_index_inter(coeffs.shape)
+    with jax.enable_x64(True):
+        c64 = coeffs.astype(jnp.int64)
+        s1 = jnp.stack([
+            jnp.sum(jnp.where(b == k, c64, 0), axis=(-3, -2, -1))
+            for k in range(8)
+        ], axis=-1)
+        s2 = jnp.stack([
+            jnp.sum(jnp.where(b == k, c64 * c64, 0), axis=(-3, -2, -1))
+            for k in range(8)
+        ], axis=-1)
+    return s1, s2
 
 
 def band_moments(coeffs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -57,6 +57,10 @@ __all__ = [
     "inverse_3d",
     "forward_3d_multi",
     "inverse_3d_multi",
+    "forward_1d_inter",
+    "inverse_1d_inter",
+    "forward_3d_inter",
+    "inverse_3d_inter",
     "Wavelet1D",
     "Wavelet2D",
     "Wavelet3D",
@@ -229,6 +233,135 @@ def inverse_1d(x: jnp.ndarray, wavelet: WaveletType, axis: int = -1,
 def _apply_axis(x: jnp.ndarray, axis: int, fn) -> jnp.ndarray:
     """Apply an axis-aware transform along ``axis``."""
     return fn(x, axis=axis)
+
+
+# ── Interleaved-layout transform (ALC3 fast path) ───────────────
+#
+# The [low|high] layout above exists for reference parity
+# (src/wavelet.rs:220-233 deinterleaves after lifting).  For ALC3 —
+# whose wire format is our own — the deinterleave buys nothing: the
+# coefficients can stay IN PLACE (low at even indices, high at odd),
+# which turns every lifting step into rolls + parity-masked elementwise
+# updates.  No strided even/odd split, no [low|high] concatenate, no
+# interleave on the inverse: each step is one fused elementwise pass,
+# and the band of any coefficient is recoverable from its index parity
+# (quant.band_broadcast_inter).  Same integer arithmetic (_delta), so
+# the coefficient VALUES are identical to the reference layout —
+# forward_1d_inter(x) is a fixed permutation of forward_1d(x).
+#
+# Multi-level decomposition keeps the in-place property: level l lifts
+# the subgrid of indices ≡ 0 (mod 2^l) with neighbor distance 2^l —
+# no LLL extraction/reinsertion.
+
+
+def _lift_inter(x: jnp.ndarray, coeff: int, predict: bool, ax: int,
+                s: int, inverse_exact: bool = False,
+                active=None) -> jnp.ndarray:
+    """One in-place lifting step on the stride-``s`` subgrid along ``ax``.
+
+    predict: x[i] += Δ(x[i-s] + x[i+s]) for i ≡ s (mod 2s), the right
+    neighbor mirroring to x[i-s] at the last target (reference
+    src/wavelet.rs:180-197 edge rule).
+    update:  x[i] += Δ(x[i-s] + x[i+s]) for i ≡ 0 (mod 2s), the left
+    neighbor mirroring to x[i+s] at i=0 (src/wavelet.rs:201-217).
+    ``inverse_exact`` subtracts the delta instead (exact undo).
+    ``active``: optional bool mask restricting targets (multi-level 3D:
+    only positions on the level's subgrid along the OTHER axes lift).
+    """
+    n = x.shape[ax]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax)
+    nl = jnp.roll(x, s, ax)
+    nr = jnp.roll(x, -s, ax)
+    m2 = 2 * s - 1
+    if predict:
+        tgt = (idx & m2) == s
+        nbr = nl + jnp.where(idx == n - s, nl, nr)
+    else:
+        tgt = (idx & m2) == 0
+        nbr = jnp.where(idx == 0, nr, nl) + nr
+    if active is not None:
+        tgt = tgt & active
+    d = _delta(nbr, coeff)
+    return jnp.where(tgt, x - d if inverse_exact else x + d, x)
+
+
+def forward_1d_inter(x: jnp.ndarray, wavelet: WaveletType, axis: int = -1,
+                     level: int = 0, active=None) -> jnp.ndarray:
+    """Forward lifting along ``axis`` in the interleaved layout.
+
+    ``level``: dyadic depth — lifts the subgrid of indices ≡ 0
+    (mod 2^level).  The axis length must be divisible by 2^(level+1).
+    Coefficient values match :func:`forward_1d` on the level's subgrid
+    (low at even subgrid slots, high at odd).  ``active``: extra target
+    mask (see :func:`_lift_inter`)."""
+    ax = axis % x.ndim
+    s = 1 << level
+    if x.shape[ax] % (2 * s):
+        raise ValueError(
+            f"axis length {x.shape[ax]} not divisible by {2 * s} "
+            f"(level {level})")
+    for coeff, predict in LIFTING_STEPS[wavelet]:
+        x = _lift_inter(x, coeff, predict, ax, s, active=active)
+    return x
+
+
+def inverse_1d_inter(x: jnp.ndarray, wavelet: WaveletType, axis: int = -1,
+                     level: int = 0, *, exact: bool = False,
+                     active=None) -> jnp.ndarray:
+    """Inverse of :func:`forward_1d_inter` (same two modes as
+    :func:`inverse_1d`: compat ±1 replay, or exact undo)."""
+    ax = axis % x.ndim
+    s = 1 << level
+    for coeff, predict in reversed(LIFTING_STEPS[wavelet]):
+        if exact:
+            x = _lift_inter(x, coeff, predict, ax, s, inverse_exact=True,
+                            active=active)
+        else:
+            x = _lift_inter(x, -coeff, predict, ax, s, active=active)
+    return x
+
+
+def _level_active(shape, k: int, ax: int):
+    """Mask of positions on the level-``k`` subgrid along the two volume
+    axes OTHER than ``ax`` (the interleaved LLL-box restriction; None at
+    level 0 — everything lifts)."""
+    if k == 0:
+        return None
+    nd = len(shape)
+    m = (1 << k) - 1
+    axes = [a for a in (nd - 1, nd - 2, nd - 3) if a != ax % nd]
+    act = None
+    for a in axes:
+        ok = (jax.lax.broadcasted_iota(jnp.int32, shape, a) & m) == 0
+        act = ok if act is None else (act & ok)
+    return act
+
+
+def forward_3d_inter(volume: jnp.ndarray, wavelet: WaveletType,
+                     levels: int = 1) -> jnp.ndarray:
+    """Interleaved 3D forward on ``(..., T, H, W)``: rows → columns →
+    temporal per level, subgrids in place (dims divisible by
+    2^levels).  Level k lifts only the LLL subgrid (indices ≡ 0 mod 2^k
+    on every axis), matching forward_3d_multi's box recursion."""
+    for k in range(levels):
+        for ax in (-1, -2, -3):
+            volume = forward_1d_inter(
+                volume, wavelet, axis=ax, level=k,
+                active=_level_active(volume.shape, k, ax))
+    return volume
+
+
+def inverse_3d_inter(volume: jnp.ndarray, wavelet: WaveletType,
+                     levels: int = 1, *, exact: bool = False) -> jnp.ndarray:
+    """Inverse of :func:`forward_3d_inter`."""
+    for k in reversed(range(levels)):
+        for ax in (-3, -2, -1):
+            volume = inverse_1d_inter(
+                volume, wavelet, axis=ax, level=k, exact=exact,
+                active=_level_active(volume.shape, k, ax))
+    return volume
+
+
 
 
 def forward_2d(image: jnp.ndarray, wavelet: WaveletType) -> jnp.ndarray:

@@ -80,15 +80,36 @@ def _transform(rgb, wavelet_type, padded, levels=1):
     return wavelet.forward_3d_multi(chans, wavelet_type, levels)
 
 
-def _symbolize(qcoeffs, padded):
+def _hist_sample(sym2d, stride: int):
+    """Row-subsample a (nc, N) symbol plane for histogram building: the
+    first 128-lane row of every ``stride`` rows (one strided slice — no
+    gather).  The histogram seeds the rANS tables, which ride the wire,
+    so ANY consistent histogram is correct (freq_table_device gives every
+    symbol freq ≥ 1); a 1/stride sample costs <0.1% rate at production
+    sizes and cuts the dominant one-hot histogram pass by ``stride``×.
+    Planes smaller than one stride block are returned whole."""
+    if stride <= 1:
+        return sym2d
+    nc, n = sym2d.shape
+    blk = stride * 128
+    nb = n // blk
+    if nb == 0:
+        return sym2d
+    s = sym2d[:, : nb * blk].reshape(nc, nb, stride, 128)[:, :, 0, :]
+    return s.reshape(nc, nb * 128)
+
+
+def _symbolize(qcoeffs, padded, hist_stride: int = 1):
     """zigzag symbols + per-channel histograms from quantized coeffs."""
     pw, ph, pf = padded
     symbols = quant.to_symbols(qcoeffs).reshape(3, pf * ph * pw)
-    hists = jax.vmap(quant.build_histogram)(symbols)
+    hists = jax.vmap(quant.build_histogram)(
+        _hist_sample(symbols, hist_stride))
     return symbols, hists
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels"))
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels",
+                                   "hist_stride"))
 def encode_device(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -97,6 +118,7 @@ def encode_device(
     wavelet_type: WaveletType,
     padded: tuple[int, int, int],
     levels: int = 1,
+    hist_stride: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device encode stage.
 
@@ -106,7 +128,7 @@ def encode_device(
     """
     coeffs = _transform(rgb, wavelet_type, padded, levels)
     qcoeffs = quant.quantize(coeffs, step, dead_zone)
-    return _symbolize(qcoeffs, padded)
+    return _symbolize(qcoeffs, padded, hist_stride)
 
 
 @partial(jax.jit, static_argnames=("wavelet_type", "padded"))
@@ -129,19 +151,20 @@ def transform_moments_device(
     return coeffs, s1, s2
 
 
-@partial(jax.jit, static_argnames=("padded",))
+@partial(jax.jit, static_argnames=("padded", "hist_stride"))
 def encode_bands_device(
     coeffs: jnp.ndarray,
     steps8: jnp.ndarray,
     dead_zones8: jnp.ndarray,
     *,
     padded: tuple[int, int, int],
+    hist_stride: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """RDO phase 2: per-sub-band quantize → symbols + histograms.
 
     ``steps8``/``dead_zones8``: (3, 8) int32 per-channel per-band."""
     qcoeffs = quant.quantize_bands(coeffs, steps8, dead_zones8)
-    return _symbolize(qcoeffs, padded)
+    return _symbolize(qcoeffs, padded, hist_stride)
 
 
 @partial(jax.jit, static_argnames=(
@@ -180,7 +203,8 @@ def decode_device(
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels"))
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels",
+                                   "hist_stride"))
 def encode_deep_device(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -189,6 +213,7 @@ def encode_deep_device(
     wavelet_type: WaveletType,
     padded: tuple[int, int, int],
     levels: int = 1,
+    hist_stride: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Deep (16-bit symbol) encode stage — ALC3's escape mechanism.
 
@@ -207,7 +232,7 @@ def encode_deep_device(
     s16 = quant.to_symbols16(qcoeffs).reshape(3, pf * ph * pw)
     planes = jnp.stack([s16 & 255, s16 >> 8], axis=1)  # (3, 2, P)
     planes = planes.reshape(6, pf * ph * pw).astype(jnp.uint8)
-    hists = jax.vmap(quant.build_histogram)(planes)
+    hists = jax.vmap(quant.build_histogram)(_hist_sample(planes, hist_stride))
     return planes, hists
 
 

@@ -86,9 +86,10 @@ def test_container_roundtrip_and_host_spec_decode():
     off = 0
     seg = 8 * 128
     m = n_seg * seg  # kernels code the padded grid: padding zeros carry mass
+    from alice_codec_tpu.alc3 import HIST_STRIDE
     for ch in range(3):
         hist = np.asarray(chunk.hists)[ch].copy()
-        hist[0] += m - p
+        hist[0] += -(-(m - p) // HIST_STRIDE)  # scaled like sampled hists
         table = FrequencyTable.from_histogram(hist, sanitize=True)
         ch_counts = counts[ch * n_seg : (ch + 1) * n_seg]
         n_words = int(ch_counts.sum())

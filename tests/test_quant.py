@@ -122,3 +122,61 @@ def test_subband_properties():
     assert SubBand3D.HHH.quant_strength == 8
     assert SubBand3D.LHL.quant_strength == 2
     assert SubBand3D.HLH.quant_strength == 4
+
+
+# ── interleaved-layout band helpers (ALC3 fast path) ────────────
+
+
+def test_band_broadcast_inter_matches_reference_permutation():
+    import numpy as np
+    import jax.numpy as jnp
+    from alice_codec_tpu.ops.quant import band_broadcast, band_broadcast_inter
+
+    v8 = jnp.asarray(np.arange(1, 9, dtype=np.int32))
+    shape = (4, 8, 6)
+    ref = np.asarray(band_broadcast(v8, shape))
+    inter = np.asarray(band_broadcast_inter(v8, shape))
+    # deinterleave each axis of inter → must equal the [low|high] ref
+    v = inter
+    for ax in (-1, -2, -3):
+        lo = np.take(v, np.arange(0, v.shape[ax], 2), axis=ax)
+        hi = np.take(v, np.arange(1, v.shape[ax], 2), axis=ax)
+        v = np.concatenate([lo, hi], axis=ax)
+    np.testing.assert_array_equal(v, ref)
+
+
+def test_band_moments_inter_matches_reference():
+    import numpy as np
+    import jax.numpy as jnp
+    from alice_codec_tpu.core import WaveletType
+    from alice_codec_tpu.ops import wavelet
+    from alice_codec_tpu.ops.quant import band_moments, band_moments_inter
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.integers(-900, 900, (3, 4, 8, 8), np.int32))
+    wt = WaveletType.CDF53
+    ref_c = wavelet.forward_3d(x, wt)
+    int_c = wavelet.forward_3d_inter(x, wt)
+    s1r, s2r = band_moments(ref_c)
+    s1i, s2i = band_moments_inter(int_c)
+    np.testing.assert_array_equal(np.asarray(s1i), np.asarray(s1r))
+    np.testing.assert_array_equal(np.asarray(s2i), np.asarray(s2r))
+
+
+def test_quantize_bands_inter_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+    from alice_codec_tpu.ops.quant import (
+        dequantize_bands_inter, quantize_bands_inter)
+
+    rng = np.random.default_rng(22)
+    c = jnp.asarray(rng.integers(-2000, 2000, (2, 4, 4), np.int32))
+    steps = jnp.asarray(rng.integers(1, 9, (8,), np.int32))
+    dz = steps * 2
+    q = quantize_bands_inter(c, steps, dz)
+    d = dequantize_bands_inter(q, steps)
+    # quantize→dequantize error bounded by step + dz/2 per element
+    err = np.abs(np.asarray(d) - np.asarray(c))
+    bound = np.asarray(
+        dequantize_bands_inter(jnp.ones_like(q), steps)) + 8
+    assert (err <= bound + 8).all()

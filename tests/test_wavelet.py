@@ -1,6 +1,7 @@
 """Wavelet parity + roundtrip tests (reference: src/wavelet.rs tests)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from alice_codec_tpu.core import WaveletType
@@ -151,3 +152,67 @@ def test_subband_extract_combine_roundtrip():
     assert np.array_equal(
         np.asarray(bands[SubBand3D.LLH]), np.asarray(coeffs)[2:, :4, :3]
     )
+
+
+# ── interleaved layout (ALC3 fast path) ─────────────────────────
+
+
+def _to_ref_3d(vol, levels):
+    """Reorder an interleaved-layout volume to the reference [low|high]
+    layout (recursively per level) — numpy oracle for the permutation."""
+    v = np.array(vol)
+    if levels == 0:
+        return v
+    for ax in (-1, -2, -3):
+        lo = np.take(v, np.arange(0, v.shape[ax], 2), axis=ax)
+        hi = np.take(v, np.arange(1, v.shape[ax], 2), axis=ax)
+        v = np.concatenate([lo, hi], axis=ax)
+    t, h, w = v.shape[-3:]
+    v[..., : t // 2, : h // 2, : w // 2] = _to_ref_3d(
+        v[..., : t // 2, : h // 2, : w // 2], levels - 1)
+    return v
+
+
+@pytest.mark.parametrize("wt", [WaveletType.HAAR, WaveletType.CDF53,
+                                WaveletType.CDF97])
+def test_inter_forward_is_permutation_of_reference_layout(wt):
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(-500, 500, (2, 8, 16, 32), np.int32))
+    ref = np.asarray(wavelet.forward_3d(x, wt))
+    inter = np.asarray(wavelet.forward_3d_inter(x, wt))
+    np.testing.assert_array_equal(_to_ref_3d(inter, 1), ref)
+
+
+@pytest.mark.parametrize("levels", [1, 2, 3])
+def test_inter_multi_level_matches_reference_layout(levels):
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.integers(-500, 500, (8, 16, 16), np.int32))
+    ref = np.asarray(wavelet.forward_3d_multi(x, WaveletType.CDF53, levels))
+    inter = np.asarray(
+        wavelet.forward_3d_inter(x, WaveletType.CDF53, levels))
+    np.testing.assert_array_equal(_to_ref_3d(inter, levels), ref)
+
+
+@pytest.mark.parametrize("wt", [WaveletType.HAAR, WaveletType.CDF53,
+                                WaveletType.CDF97])
+@pytest.mark.parametrize("levels", [1, 2])
+def test_inter_exact_roundtrip(wt, levels):
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.integers(-800, 800, (3, 8, 16, 16), np.int32))
+    y = wavelet.forward_3d_inter(x, wt, levels)
+    back = wavelet.inverse_3d_inter(y, wt, levels, exact=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_inter_compat_inverse_matches_reference_compat():
+    """The ±1 compat inverse must behave identically to inverse_3d on
+    the permuted coefficients (same replay arithmetic)."""
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.integers(-500, 500, (4, 8, 16), np.int32))
+    wt = WaveletType.CDF97
+    inter = wavelet.forward_3d_inter(x, wt)
+    ref = jnp.asarray(_to_ref_3d(np.asarray(inter), 1))
+    back_ref = np.asarray(wavelet.inverse_3d(ref, wt, exact=False))
+    back_inter = np.asarray(
+        wavelet.inverse_3d_inter(inter, wt, exact=False))
+    np.testing.assert_array_equal(back_inter, back_ref)
