@@ -100,10 +100,11 @@ __all__ = ["DEFAULT_S_SEG", "DeviceChunk", "Alc3Codec"]
 DEFAULT_S_SEG = 2048
 
 _MAGIC3 = b"ALC3"
-#: v3: sparse planes moved to the block-major layout of
-#: ops/pallas/sparse_kernels.py (bitmap bit order + value order changed);
-#: dense/deep/rdo chunk bytes are unchanged from v2.
-_VERSION3 = 3
+#: v4: coefficients ride the INTERLEAVED wavelet layout (low at even
+#: indices — wavelet.forward_3d_inter), a fixed permutation of the v3
+#: symbol ordering; v3: sparse planes moved to the block-major layout of
+#: ops/pallas/sparse_kernels.py.
+_VERSION3 = 4
 #: histogram subsampling stride for ALC3 table seeding (see
 #: pipeline._hist_sample) — the full-plane one-hot histogram was the
 #: single biggest transform-stage item at 1080p (98 ms measured).  The
@@ -164,7 +165,7 @@ def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg,
     """Full fused encode: RGB (T,H,W,3) uint8 → (streams, counts, hists)."""
     symbols, hists = encode_device(
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
-        levels=levels, hist_stride=HIST_STRIDE,
+        levels=levels, hist_stride=HIST_STRIDE, interleaved=True,
     )
     p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
@@ -195,7 +196,7 @@ def _encode_chunk_deep(rgb, step, dead_zone, *, wavelet_type, padded,
     """Deep (16-bit symbol) fused encode: 6 planes, 6 tables."""
     planes, hists = encode_deep_device(
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
-        levels=levels, hist_stride=HIST_STRIDE,
+        levels=levels, hist_stride=HIST_STRIDE, interleaved=True,
     )
     p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
@@ -225,7 +226,7 @@ def _decode_chunk_deep(streams, counts, hists, steps, *, wavelet_type, dims,
                                       s_seg=s_seg, v_seg=v_seg)
     return decode_deep_device(
         planes, steps, wavelet_type=wavelet_type, dims=dims,
-        padded=padded, exact=exact, levels=levels,
+        padded=padded, exact=exact, levels=levels, interleaved=True,
     )
 
 
@@ -240,7 +241,7 @@ def _encode_batch_core(rgb, step, dead_zone, *, wavelet_type, padded,
     symbols, hists = jax.vmap(
         lambda r: encode_device(
             r, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
-            levels=levels, hist_stride=HIST_STRIDE,
+            levels=levels, hist_stride=HIST_STRIDE, interleaved=True,
         )
     )(rgb)                                    # (B,3,P), (B,3,256)
     p = padded[0] * padded[1] * padded[2]
@@ -279,7 +280,7 @@ def _decode_batch_core(streams, counts, hists, steps, *, wavelet_type,
     return jax.vmap(
         lambda s, st: decode_device(
             s, st, st, wavelet_type=wavelet_type, dims=dims, padded=padded,
-            exact=exact, levels=levels,
+            exact=exact, levels=levels, interleaved=True,
         )
     )(sym, steps)
 
@@ -440,7 +441,7 @@ def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
         streams, counts, hists, p=p, s_seg=s_seg, kcaps=kcaps, v_b=v_b)
     return decode_device(
         symbols, steps, steps, wavelet_type=wavelet_type, dims=dims,
-        padded=padded, exact=exact, levels=levels,
+        padded=padded, exact=exact, levels=levels, interleaved=True,
     )
 
 
@@ -456,7 +457,7 @@ def _decode_chunk_sparse_rdo(streams, counts, hists, steps8, *,
         streams, counts, hists, p=p, s_seg=s_seg, kcaps=kcaps, v_b=v_b)
     return decode_bands_device(
         symbols, steps8, wavelet_type=wavelet_type, dims=dims,
-        padded=padded, exact=exact,
+        padded=padded, exact=exact, interleaved=True,
     )
 
 
@@ -473,7 +474,7 @@ def _decode_chunk_sparse_deep(streams, counts, hists, steps, *,
         nc=6)
     return decode_deep_device(
         planes, steps, wavelet_type=wavelet_type, dims=dims,
-        padded=padded, exact=exact, levels=levels,
+        padded=padded, exact=exact, levels=levels, interleaved=True,
     )
 
 
@@ -481,10 +482,10 @@ def _decode_chunk_sparse_deep(streams, counts, hists, steps, *,
 def _bands_sparse_phase15(coeffs, steps8, dzs8, *, padded, pp):
     """RDO×sparse phase 1.5: per-band quantize → padded symbol plane +
     value-row counts (host fetches the 12-byte counts to size kcap)."""
-    from .ops.quant import quantize_bands, to_symbols
+    from .ops.quant import quantize_bands_inter, to_symbols
 
     p = padded[0] * padded[1] * padded[2]
-    qcoeffs = quantize_bands(coeffs, steps8, dzs8)
+    qcoeffs = quantize_bands_inter(coeffs, steps8, dzs8)
     symbols = to_symbols(qcoeffs).reshape(3, p)
     if pp != p:
         symbols = jnp.pad(symbols, ((0, 0), (0, pp - p)))
@@ -500,7 +501,8 @@ def _encode_chunk_rdo(coeffs, steps8, dzs8, *, padded, s_seg, v_seg):
     """RDO phase-2 fused encode: (coeffs, per-band steps) →
     (streams, counts, hists)."""
     symbols, hists = encode_bands_device(
-        coeffs, steps8, dzs8, padded=padded, hist_stride=HIST_STRIDE)
+        coeffs, steps8, dzs8, padded=padded, hist_stride=HIST_STRIDE,
+        interleaved=True)
     p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
         _table_hists(hists, p, s_seg=s_seg, v_seg=v_seg))
@@ -542,7 +544,7 @@ def _decode_chunk(streams, counts, hists, steps, *, wavelet_type, dims,
                               s_seg=s_seg, v_seg=v_seg)
     return decode_device(
         sym, steps, steps, wavelet_type=wavelet_type, dims=dims,
-        padded=padded, exact=exact, levels=levels,
+        padded=padded, exact=exact, levels=levels, interleaved=True,
     )
 
 
@@ -555,7 +557,7 @@ def _decode_chunk_rdo(streams, counts, hists, steps8, *, wavelet_type, dims,
                           s_seg=s_seg, v_seg=v_seg)
     return decode_bands_device(
         sym, steps8, wavelet_type=wavelet_type, dims=dims,
-        padded=padded, exact=exact,
+        padded=padded, exact=exact, interleaved=True,
     )
 
 
@@ -732,7 +734,7 @@ class Alc3Codec:
             # the HBM-resident coefficients.
             coeffs, s1, s2 = transform_moments_device(
                 jnp.asarray(rgb), wavelet_type=self.wavelet_type,
-                padded=padded,
+                padded=padded, interleaved=True,
             )
             rdo = AnalyticalRDO.with_quality(self.quality)
             s1_np, s2_np = np.asarray(s1), np.asarray(s2)
@@ -767,6 +769,7 @@ class Alc3Codec:
                     jnp.asarray(rgb), jnp.int32(self.step),
                     jnp.int32(self.step), wavelet_type=self.wavelet_type,
                     padded=padded, pp=pp, levels=self.levels,
+                    interleaved=True,
                 )
                 return self._sparse_phase2(
                     planes, ch_rows, pp, w, h, t, band_steps=None,
@@ -774,7 +777,7 @@ class Alc3Codec:
             symbols, ch_rows = encode_sparse_phase1(
                 jnp.asarray(rgb), jnp.int32(self.step), jnp.int32(self.step),
                 wavelet_type=self.wavelet_type, padded=padded, pp=pp,
-                levels=self.levels,
+                levels=self.levels, interleaved=True,
             )
             return self._sparse_phase2(
                 symbols, ch_rows, pp, w, h, t, band_steps=None)

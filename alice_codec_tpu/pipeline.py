@@ -57,7 +57,7 @@ _CHANNEL_HEADER_BYTES = 1040
 # ── Device programs ─────────────────────────────────────────────
 
 
-def _transform(rgb, wavelet_type, padded, levels=1):
+def _transform(rgb, wavelet_type, padded, levels=1, interleaved=False):
     """color → edge-pad → forward 3D wavelet: uint8 (T,H,W,3) → int32
     coefficients (3, pT, pH, pW) (shared by the fixed-step and RDO
     encode programs).  ``levels`` > 1 runs the dyadic multi-level
@@ -75,9 +75,23 @@ def _transform(rgb, wavelet_type, padded, levels=1):
         ((0, 0), (0, pf - t), (0, ph - h), (0, pw - w)),
         mode="edge",
     )
+    if interleaved:
+        # ALC3 fast path: in-place interleaved layout — no [low|high]
+        # relayouts (see wavelet.forward_3d_inter)
+        return wavelet.forward_3d_inter(chans, wavelet_type, levels)
     if levels == 1:
         return wavelet.forward_3d(chans, wavelet_type)
     return wavelet.forward_3d_multi(chans, wavelet_type, levels)
+
+
+def _inverse_3d(coeffs, wavelet_type, levels, exact, interleaved):
+    if interleaved:
+        return wavelet.inverse_3d_inter(coeffs, wavelet_type, levels,
+                                        exact=exact)
+    if levels == 1:
+        return wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
+    return wavelet.inverse_3d_multi(coeffs, wavelet_type, levels,
+                                    exact=exact)
 
 
 def _hist_sample(sym2d, stride: int):
@@ -109,7 +123,7 @@ def _symbolize(qcoeffs, padded, hist_stride: int = 1):
 
 
 @partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels",
-                                   "hist_stride"))
+                                   "hist_stride", "interleaved"))
 def encode_device(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -119,6 +133,7 @@ def encode_device(
     padded: tuple[int, int, int],
     levels: int = 1,
     hist_stride: int = 1,
+    interleaved: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused device encode stage.
 
@@ -126,17 +141,18 @@ def encode_device(
     symbols uint8 ``(3, pT*pH*pW)`` (channel order Y, Co, Cg, frame-major
     like the reference) and histograms uint32 ``(3, 256)``.
     """
-    coeffs = _transform(rgb, wavelet_type, padded, levels)
+    coeffs = _transform(rgb, wavelet_type, padded, levels, interleaved)
     qcoeffs = quant.quantize(coeffs, step, dead_zone)
     return _symbolize(qcoeffs, padded, hist_stride)
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded"))
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "interleaved"))
 def transform_moments_device(
     rgb: jnp.ndarray,
     *,
     wavelet_type: WaveletType,
     padded: tuple[int, int, int],
+    interleaved: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """RDO phase 1: transform + exact per-band integer moments.
 
@@ -146,12 +162,16 @@ def transform_moments_device(
     (:func:`encode_bands_device`).  Reference manual-pipeline composition:
     src/quant.rs:472-524.
     """
-    coeffs = _transform(rgb, wavelet_type, padded)
-    s1, s2 = quant.band_moments(coeffs)
+    coeffs = _transform(rgb, wavelet_type, padded, interleaved=interleaved)
+    if interleaved:
+        s1, s2 = quant.band_moments_inter(coeffs)
+    else:
+        s1, s2 = quant.band_moments(coeffs)
     return coeffs, s1, s2
 
 
-@partial(jax.jit, static_argnames=("padded", "hist_stride"))
+@partial(jax.jit, static_argnames=("padded", "hist_stride",
+                                   "interleaved"))
 def encode_bands_device(
     coeffs: jnp.ndarray,
     steps8: jnp.ndarray,
@@ -159,16 +179,19 @@ def encode_bands_device(
     *,
     padded: tuple[int, int, int],
     hist_stride: int = 1,
+    interleaved: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """RDO phase 2: per-sub-band quantize → symbols + histograms.
 
     ``steps8``/``dead_zones8``: (3, 8) int32 per-channel per-band."""
-    qcoeffs = quant.quantize_bands(coeffs, steps8, dead_zones8)
+    qb = (quant.quantize_bands_inter if interleaved
+          else quant.quantize_bands)
+    qcoeffs = qb(coeffs, steps8, dead_zones8)
     return _symbolize(qcoeffs, padded, hist_stride)
 
 
 @partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "exact", "levels"))
+    "wavelet_type", "dims", "padded", "exact", "levels", "interleaved"))
 def decode_device(
     symbols: jnp.ndarray,
     step: jnp.ndarray,
@@ -179,6 +202,7 @@ def decode_device(
     padded: tuple[int, int, int],
     exact: bool = False,
     levels: int = 1,
+    interleaved: bool = False,
 ) -> jnp.ndarray:
     """Fused device decode stage: symbols (3, P) uint8 → RGB (T,H,W,3) uint8.
 
@@ -192,19 +216,14 @@ def decode_device(
     qcoeffs = quant.from_symbols(symbols).reshape(3, pf, ph, pw)
     coeffs = qcoeffs * step.astype(jnp.int32).reshape(3, 1, 1, 1)
     del dead_zone  # stored in headers but unused by dequantization
-    volume = (
-        wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
-        if levels == 1
-        else wavelet.inverse_3d_multi(coeffs, wavelet_type, levels,
-                                      exact=exact)
-    )
+    volume = _inverse_3d(coeffs, wavelet_type, levels, exact, interleaved)
     # i32 → i16 truncating cast, strip padding (src/pipeline.rs:602-611).
     chans = volume[:, :t, :h, :w].astype(jnp.int16)
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
 
 
 @partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels",
-                                   "hist_stride"))
+                                   "hist_stride", "interleaved"))
 def encode_deep_device(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -214,6 +233,7 @@ def encode_deep_device(
     padded: tuple[int, int, int],
     levels: int = 1,
     hist_stride: int = 1,
+    interleaved: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Deep (16-bit symbol) encode stage — ALC3's escape mechanism.
 
@@ -227,7 +247,7 @@ def encode_deep_device(
     cost is a few bits per segment.
     """
     pw, ph, pf = padded
-    coeffs = _transform(rgb, wavelet_type, padded, levels)
+    coeffs = _transform(rgb, wavelet_type, padded, levels, interleaved)
     qcoeffs = quant.quantize(coeffs, step, dead_zone)
     s16 = quant.to_symbols16(qcoeffs).reshape(3, pf * ph * pw)
     planes = jnp.stack([s16 & 255, s16 >> 8], axis=1)  # (3, 2, P)
@@ -237,7 +257,7 @@ def encode_deep_device(
 
 
 @partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "exact", "levels"))
+    "wavelet_type", "dims", "padded", "exact", "levels", "interleaved"))
 def decode_deep_device(
     planes: jnp.ndarray,
     step: jnp.ndarray,
@@ -247,6 +267,7 @@ def decode_deep_device(
     padded: tuple[int, int, int],
     exact: bool = False,
     levels: int = 1,
+    interleaved: bool = False,
 ) -> jnp.ndarray:
     """Inverse of :func:`encode_deep_device`: (6, P) uint8 planes → RGB."""
     w, h, t = dims
@@ -255,17 +276,13 @@ def decode_deep_device(
     s16 = s16[:, 0] | (s16[:, 1] << 8)
     qcoeffs = quant.from_symbols16(s16).reshape(3, pf, ph, pw)
     coeffs = qcoeffs * step.astype(jnp.int32).reshape(3, 1, 1, 1)
-    volume = (
-        wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
-        if levels == 1
-        else wavelet.inverse_3d_multi(coeffs, wavelet_type, levels,
-                                      exact=exact)
-    )
+    volume = _inverse_3d(coeffs, wavelet_type, levels, exact, interleaved)
     chans = volume[:, :t, :h, :w].astype(jnp.int16)
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact"))
+@partial(jax.jit, static_argnames=("wavelet_type", "dims", "padded", "exact",
+                                  "interleaved"))
 def decode_bands_device(
     symbols: jnp.ndarray,
     steps8: jnp.ndarray,
@@ -274,14 +291,17 @@ def decode_bands_device(
     dims: tuple[int, int, int],
     padded: tuple[int, int, int],
     exact: bool = False,
+    interleaved: bool = False,
 ) -> jnp.ndarray:
     """Per-sub-band decode stage (inverse of the RDO encode path):
     symbols (3, P) uint8 + ``steps8`` (3, 8) int32 → RGB uint8."""
     w, h, t = dims
     pw, ph, pf = padded
     qcoeffs = quant.from_symbols(symbols).reshape(3, pf, ph, pw)
-    coeffs = quant.dequantize_bands(qcoeffs, steps8)
-    volume = wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
+    db = (quant.dequantize_bands_inter if interleaved
+          else quant.dequantize_bands)
+    coeffs = db(qcoeffs, steps8)
+    volume = _inverse_3d(coeffs, wavelet_type, 1, exact, interleaved)
     chans = volume[:, :t, :h, :w].astype(jnp.int16)
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
 
@@ -303,7 +323,8 @@ def decode_bands_device(
 # only.
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels", "pp"))
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels", "pp",
+                                   "interleaved"))
 def encode_sparse_phase1(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -313,6 +334,7 @@ def encode_sparse_phase1(
     padded: tuple[int, int, int],
     pp: int,
     levels: int = 1,
+    interleaved: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sparse phase 1: transform + quantize + zigzag + value-row counts.
 
@@ -325,7 +347,7 @@ def encode_sparse_phase1(
 
     pw, ph, pf = padded
     p = pf * ph * pw
-    coeffs = _transform(rgb, wavelet_type, padded, levels)
+    coeffs = _transform(rgb, wavelet_type, padded, levels, interleaved)
     qcoeffs = quant.quantize(coeffs, step, dead_zone)
     symbols = quant.to_symbols(qcoeffs).reshape(3, p)
     if pp != p:
@@ -338,7 +360,8 @@ def encode_sparse_phase1(
     return symbols, ch_rows
 
 
-@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels", "pp"))
+@partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels", "pp",
+                                   "interleaved"))
 def encode_deep_sparse_phase1(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -348,6 +371,7 @@ def encode_deep_sparse_phase1(
     padded: tuple[int, int, int],
     pp: int,
     levels: int = 1,
+    interleaved: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """deep×sparse phase 1: the 6 lo/hi byte planes of
     :func:`encode_deep_device`, block-padded, plus per-plane value-row
@@ -359,7 +383,7 @@ def encode_deep_sparse_phase1(
     p = pf * ph * pw
     planes, _ = encode_deep_device(
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
-        levels=levels,
+        levels=levels, interleaved=interleaved,
     )
     if pp != p:
         planes = jnp.pad(planes, ((0, 0), (0, pp - p)))

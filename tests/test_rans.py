@@ -331,3 +331,32 @@ def test_interleaved_multicall_reference_semantics():
     want += b"".join(c.to_bytes(4, "little") for c in counts)
     want += b"".join(streams)
     assert got == want
+
+
+def test_interleaved_mixed_table_call_semantics():
+    """Reference call semantics (src/rans.rs:393-427): each encode() call
+    pushes ITS symbols round-robin with its own table into the four
+    persistent stream encoders, and the stored per-stream counts are
+    OVERWRITTEN by the last call.  Consequence (faithfully reproduced):
+    the LAST call's symbols decode first and roundtrip; earlier calls'
+    stream split no longer lines up with the decoder's continuing
+    round-robin cursor."""
+    rng = np.random.default_rng(5)
+    s1 = rng.integers(0, 16, size=37).astype(np.uint8)
+    s2 = rng.integers(16, 48, size=41).astype(np.uint8)
+    t1 = rans.FrequencyTable.from_histogram(
+        np.bincount(s1, minlength=256).astype(np.uint32))
+    t2 = rans.FrequencyTable.from_histogram(
+        np.bincount(s2, minlength=256).astype(np.uint32))
+    enc = rans.InterleavedRansEncoder()
+    enc.encode(s1, t1)
+    enc.encode(s2, t2)
+    data = enc.finish()
+
+    # counts field carries the LAST call's per-stream counts
+    counts = [int.from_bytes(data[16 + 4 * i : 20 + 4 * i], "little")
+              for i in range(4)]
+    assert counts == [(len(s2) + 3 - i) // 4 for i in range(4)]
+
+    dec = rans.InterleavedRansDecoder(data)
+    np.testing.assert_array_equal(dec.decode_n(len(s2), t2), s2)
