@@ -57,6 +57,18 @@ _MAGIC2 = b"ALC2"
 _VERSION2 = 1
 
 
+def _lane_sym_count(padded_pixels: int, n_lanes: int) -> int:
+    """Symbols per channel padded for the lane coders: a whole number of
+    lanes AND a per-lane step count that is a multiple of 8 (the TPU
+    sublane tile), so the Pallas byte-lane decoder tiles at ANY shape
+    (rans_decode_kernel._pick_tile) instead of silently falling back to
+    the scan coder.  Encoder and decoder must agree exactly — the
+    padding zeros are entropy-coded."""
+    steps = -(-padded_pixels // n_lanes)
+    steps += (-steps) % 8
+    return steps * n_lanes
+
+
 def chunk_frames(frames: np.ndarray, chunk_size: int = 64) -> tuple[np.ndarray, int]:
     """Split (N, H, W, 3) frames into a (B, chunk_size, H, W, 3) batch.
 
@@ -363,9 +375,9 @@ class BatchFrameEncoder:
         padded = padded_dims(w, h, t)
         padded_pixels = padded[0] * padded[1] * padded[2]
         # ALC2 lane streams cover the symbol count padded up to a lane
-        # multiple (uniform per-lane counts — required by the device coder,
-        # harmless zeros for the host coder).
-        n_sym = -(-padded_pixels // self.n_lanes) * self.n_lanes
+        # multiple with 8-aligned per-lane steps (uniform per-lane counts —
+        # required by the device coder, harmless zeros for the host coder).
+        n_sym = _lane_sym_count(padded_pixels, self.n_lanes)
 
         symbols_dev, hists_dev = self.encode_device_stage(batch)
         hists = np.asarray(jax.device_get(hists_dev)).astype(np.uint32)
@@ -483,7 +495,7 @@ class BatchFrameDecoder:
         padded_pixels = padded[0] * padded[1] * padded[2]
         b = stream.n_chunks
         n_lanes = stream.n_lanes
-        n_sym = -(-padded_pixels // n_lanes) * n_lanes
+        n_sym = _lane_sym_count(padded_pixels, n_lanes)
 
         steps = np.empty((b, 3), np.int32)
         payload = np.frombuffer(stream.payload, np.uint8)
