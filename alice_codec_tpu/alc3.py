@@ -314,13 +314,15 @@ def _pick_v_blk(nb: int) -> int:
 def _bucket_nv(need_rows: int, s_seg: int) -> int:
     """Value-plane segment count covering ``need_rows`` value rows.
 
-    Multiples of 4 (so the kernels V-batch at v_seg=4) on a 3-bit
-    mantissa grid — ≤ ~14% capacity waste with a bounded number of jit
-    specializations per octave (round 2 used power-of-2 buckets: up to
-    2× waste, which the value kernels paid 1:1 in wall-clock)."""
-    nvu = max(4, -(-need_rows // s_seg))
-    nvu = -(-nvu // 4) * 4
-    g = 1 << max(2, (nvu - 1).bit_length() - 3)
+    Multiples of DEFAULT_V_SEG (so the kernels get their full V-batching
+    AND the wire geometry agrees with :func:`_segment_geometry`'s
+    padding — from_bytes recomputes ns with the default v_seg) on a
+    3-bit mantissa grid — bounded capacity waste with a bounded number
+    of jit specializations per octave (round 2 used power-of-2 buckets:
+    up to 2× waste, which the value kernels paid 1:1 in wall-clock)."""
+    nvu = max(DEFAULT_V_SEG, -(-need_rows // s_seg))
+    nvu = -(-nvu // DEFAULT_V_SEG) * DEFAULT_V_SEG
+    g = 1 << max((DEFAULT_V_SEG - 1).bit_length(), (nvu - 1).bit_length() - 3)
     return -(-nvu // g) * g
 
 

@@ -70,7 +70,10 @@ WORD_L = 1 << 16
 #: lanes per segment — fixed to the TPU lane width.
 NG = 128
 #: default segments processed per grid slot (see module docstring).
-DEFAULT_V_SEG = 4
+#: Round 2 measured the knee at 4; the round-3 register-window encode
+#: kernel (lighter serial chain) moved it to 8: 840→891 Msym/s encode,
+#: 668→684 decode at s_seg=2048, 512 segments on v5e.
+DEFAULT_V_SEG = 8
 
 #: manual step-unroll factor for the per-symbol fori_loops (Mosaic
 #: rejects fori_loop's own ``unroll=``): amortizes the loop carry/branch

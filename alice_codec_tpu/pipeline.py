@@ -77,8 +77,13 @@ def _transform(rgb, wavelet_type, padded, levels=1, interleaved=False):
     )
     if interleaved:
         # ALC3 fast path: in-place interleaved layout — no [low|high]
-        # relayouts (see wavelet.forward_3d_inter)
-        return wavelet.forward_3d_inter(chans, wavelet_type, levels)
+        # relayouts (see wavelet.forward_3d_inter).  lax.map over the
+        # channel axis: the lifting steps' roll/mask temporaries live per
+        # channel (~1/3 the peak HBM — the fused 3-channel form OOMs at
+        # 1080p), and the body compiles once.
+        return jax.lax.map(
+            lambda c: wavelet.forward_3d_inter(c, wavelet_type, levels),
+            chans)
     if levels == 1:
         return wavelet.forward_3d(chans, wavelet_type)
     return wavelet.forward_3d_multi(chans, wavelet_type, levels)
@@ -86,8 +91,11 @@ def _transform(rgb, wavelet_type, padded, levels=1, interleaved=False):
 
 def _inverse_3d(coeffs, wavelet_type, levels, exact, interleaved):
     if interleaved:
-        return wavelet.inverse_3d_inter(coeffs, wavelet_type, levels,
-                                        exact=exact)
+        # per-channel map: see _transform (peak-HBM discipline at 1080p)
+        return jax.lax.map(
+            lambda c: wavelet.inverse_3d_inter(c, wavelet_type, levels,
+                                               exact=exact),
+            coeffs)
     if levels == 1:
         return wavelet.inverse_3d(coeffs, wavelet_type, exact=exact)
     return wavelet.inverse_3d_multi(coeffs, wavelet_type, levels,

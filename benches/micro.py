@@ -14,15 +14,20 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, iters=50, warmup=5):
-    import jax
+def _sync(out):
+    """Fetch one element — block_until_ready can return before the
+    tunneled runtime finishes on the dev rig (ROUND_NOTES)."""
+    x = out[0] if isinstance(out, (tuple, list)) else out
+    return np.asarray(x[(0,) * x.ndim])
 
+
+def _time(fn, *args, iters=50, warmup=5):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     start = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - start) / iters
 
 

@@ -86,7 +86,7 @@ for name, n_tables, mk in [
 
 # ── sparse compact/expand: several densities ─────────────────────
 br = 512
-p = 2 * br * 128
+p = 4 * br * 128  # 4 blocks/channel: exercises the default v_blk=4 interleave
 for density in (0.0, 0.05, 0.5, 1.0):
     syms = np.stack([
         np.where(rng.random(p) < d, rng.integers(1, 256, p), 0)
