@@ -73,6 +73,12 @@ from .segment import (
     segment_motion_numpy,
 )
 from .ssim import ms_ssim, ssim
+from .streaming import (
+    Alc3StreamReader,
+    Alc3StreamWriter,
+    decode_stream,
+    encode_stream,
+)
 
 
 def version() -> str:
@@ -119,6 +125,8 @@ __version__ = VERSION
 
 __all__ = [
     "Alc3Codec",
+    "Alc3StreamReader",
+    "Alc3StreamWriter",
     "AnalyticalRDO",
     "CodecError",
     "DEFAULT_CHUNK_SIZE",
@@ -153,7 +161,9 @@ __all__ = [
     "build_histogram",
     "crop_bbox_numpy",
     "crop_to_bbox",
+    "decode_stream",
     "dequantize_subband",
+    "encode_stream",
     "estimate_quality",
     "from_symbols",
     "ms_ssim",
