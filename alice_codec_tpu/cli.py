@@ -52,6 +52,18 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="[alc3] 16-bit symbols (auto at -q 100)")
     enc.add_argument("--levels", type=int, default=1,
                      help="[alc3] dyadic decomposition depth 1-4")
+    enc.add_argument(
+        "--s-seg", type=int, default=0,
+        help="[alc3] segment length in symbol rows (0 = default; smaller "
+             "values suit small frames, larger amortize the per-segment "
+             "state flush)",
+    )
+    enc.add_argument(
+        "--chunk-size", type=int, default=0,
+        help="[alc3] split the input into N-frame chunks (one multi-chunk "
+             "container; the last chunk pads by repeating the final frame; "
+             "0 = encode all frames as a single chunk)",
+    )
 
     dec = sub.add_parser("decode", help="Decode .alc to raw RGB frames")
     dec.add_argument("input", help="Input .alc file")
@@ -68,9 +80,11 @@ def cmd_encode(args) -> int:
     if args.format == "alc3":
         from .alc3 import Alc3Codec
 
+        kw = {"s_seg": args.s_seg} if args.s_seg else {}
         codec = Alc3Codec(
             quality=args.quality, wavelet=args.wavelet, rdo=args.rdo,
             sparse=args.sparse, deep=args.deep or None, levels=args.levels,
+            **kw,
         )
         n = args.width * args.height * args.frames * 3
         if len(data) != n:
@@ -78,7 +92,15 @@ def cmd_encode(args) -> int:
         rgb = np.frombuffer(data, np.uint8).reshape(
             args.frames, args.height, args.width, 3
         )
-        out = Alc3Codec.to_bytes(codec.encode(rgb))
+        if args.chunk_size:
+            from .parallel.batch import chunk_frames
+
+            batch, _ = chunk_frames(rgb, args.chunk_size)
+            out = Alc3Codec.to_bytes(
+                [codec.encode(batch[i]) for i in range(batch.shape[0])]
+            )
+        else:
+            out = Alc3Codec.to_bytes(codec.encode(rgb))
     else:
         encoder = FrameEncoder(quality=args.quality, wavelet=args.wavelet)
         chunk = encoder.encode(

@@ -271,3 +271,28 @@ def test_stage_timer():
     assert m.encode_time_us >= 10_000
     assert "encode" in timer.report()
     assert timer.average_us("missing") == 0.0
+
+
+def test_cli_alc3_chunked_encode_decode(tmp_path, capsys):
+    """--format alc3 with --chunk-size splits the input into a multi-chunk
+    container; decode concatenates the chunks back (the padded tail frames
+    of the final chunk repeat the last real frame)."""
+    from alice_codec_tpu import cli
+
+    rng = np.random.default_rng(3)
+    t, h, w = 6, 8, 8
+    raw = rng.integers(0, 256, t * h * w * 3, dtype=np.uint8).tobytes()
+    inp = tmp_path / "in.rgb"
+    inp.write_bytes(raw)
+    out = tmp_path / "out.alc3"
+    assert cli.main([
+        "encode", str(inp), "-o", str(out), "-W", str(w), "-H", str(h),
+        "-f", str(t), "-q", "90", "--format", "alc3", "--s-seg", "8",
+        "--chunk-size", "4",
+    ]) == 0
+    assert out.read_bytes()[:4] == b"ALC3"
+
+    back = tmp_path / "back.rgb"
+    assert cli.main(["decode", str(out), "-o", str(back)]) == 0
+    # 6 frames in 4-frame chunks -> 2 chunks -> 8 decoded frames
+    assert len(back.read_bytes()) == 8 * h * w * 3
