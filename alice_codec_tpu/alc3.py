@@ -71,6 +71,7 @@ from .ops.pallas.sparse_kernels import (
     BLOCK_ROWS,
     DEFAULT_V_BLK,
     block_geometry,
+    block_value_rows,
     compact_pallas,
     expand_pallas,
     plane_row_bases,
@@ -311,7 +312,7 @@ def _pick_v_blk(nb: int) -> int:
     return v
 
 
-def _bucket_nv(need_rows: int, s_seg: int) -> int:
+def _bucket_nv(need_rows: int, s_seg: int, max_nv: int | None = None) -> int:
     """Value-plane segment count covering ``need_rows`` value rows.
 
     Multiples of DEFAULT_V_SEG (so the kernels get their full V-batching
@@ -319,11 +320,19 @@ def _bucket_nv(need_rows: int, s_seg: int) -> int:
     padding — from_bytes recomputes ns with the default v_seg) on a
     3-bit mantissa grid — bounded capacity waste with a bounded number
     of jit specializations per octave (round 2 used power-of-2 buckets:
-    up to 2× waste, which the value kernels paid 1:1 in wall-clock)."""
+    up to 2× waste, which the value kernels paid 1:1 in wall-clock).
+
+    ``max_nv``: the dense plane's segment count (a DEFAULT_V_SEG
+    multiple) — the bucket is clamped to it so a near-dense plane never
+    rounds up past the from_bytes capacity bound (the value plane can
+    never need more rows than the dense plane has)."""
     nvu = max(DEFAULT_V_SEG, -(-need_rows // s_seg))
     nvu = -(-nvu // DEFAULT_V_SEG) * DEFAULT_V_SEG
     g = 1 << max((DEFAULT_V_SEG - 1).bit_length(), (nvu - 1).bit_length() - 3)
-    return -(-nvu // g) * g
+    nvu = -(-nvu // g) * g
+    if max_nv is not None:
+        nvu = min(nvu, max_nv)
+    return nvu
 
 
 @partial(jax.jit, static_argnames=("pp", "s_seg", "krs", "v_b"))
@@ -491,11 +500,7 @@ def _bands_sparse_phase15(coeffs, steps8, dzs8, *, padded, pp):
     symbols = to_symbols(qcoeffs).reshape(3, p)
     if pp != p:
         symbols = jnp.pad(symbols, ((0, 0), (0, pp - p)))
-    blk = BLOCK_ROWS * NG
-    cnt = jnp.sum(
-        (symbols.reshape(3, pp // blk, blk) != 0).astype(jnp.int32), axis=-1)
-    ch_rows = jnp.sum(-(-cnt // NG), axis=-1).astype(jnp.int32)
-    return symbols, ch_rows
+    return symbols, block_value_rows(symbols)
 
 
 @partial(jax.jit, static_argnames=("padded", "s_seg", "v_seg"))
@@ -691,13 +696,27 @@ class Alc3Codec:
         """
         nb, _ = _segment_geometry(pp // 8, self.s_seg)
         nc = symbols.shape[0]
-        krs = getattr(self, "_krs_cache", None)
-        if krs is None or len(krs) != nc:
+        # bucket ceiling: the dense plane's own segment count (a value
+        # plane can never need more rows than the dense plane has, and
+        # from_bytes validates capacities against this bound)
+        max_nv = _segment_geometry(pp, self.s_seg)[0]
+        # capacities are a function of the chunk GEOMETRY, not just the
+        # plane count — cache per (nc, pp, s_seg) so mixed-shape encodes
+        # through one codec never leak a big chunk's buckets into a
+        # small chunk's wire (whose from_bytes bound they would exceed)
+        cache = getattr(self, "_krs_cache", None)
+        if not isinstance(cache, dict):
+            cache = {}
+            self._krs_cache = cache
+        key = (nc, pp, self.s_seg)
+        krs = cache.get(key)
+        if krs is None:
             # cold start: size the buckets from the actual counts rather
             # than paying a throwaway compile of a too-small phase 2
             rows = np.asarray(ch_rows)
             krs = tuple(
-                _bucket_nv(int(r), self.s_seg) * self.s_seg for r in rows)
+                _bucket_nv(int(r), self.s_seg, max_nv) * self.s_seg
+                for r in rows)
         for _attempt in range(8):
             streams, counts, hists = _encode_chunk_sparse(
                 symbols, ch_rows, pp=pp, s_seg=self.s_seg, krs=krs,
@@ -707,9 +726,9 @@ class Alc3Codec:
             if all(int(r) <= k for r, k in zip(rows, krs)):
                 break
             krs = tuple(
-                max(k, _bucket_nv(int(r), self.s_seg) * self.s_seg)
+                max(k, _bucket_nv(int(r), self.s_seg, max_nv) * self.s_seg)
                 for r, k in zip(rows, krs))
-        self._krs_cache = krs
+        cache[key] = krs
         return DeviceChunk(
             w, h, t, self.wavelet_type, self.step if band_steps is None
             else int(band_steps.min()), self.s_seg,
@@ -1087,6 +1106,15 @@ class Alc3Codec:
                         raise InvalidBitstream(
                             "sparse value capacity not segment-aligned"
                         )
+                    if (hdr.num_symbols // seg) % DEFAULT_V_SEG:
+                        # the encoder buckets capacities to DEFAULT_V_SEG
+                        # segments; a misaligned capacity would make the
+                        # header's segment count (rounded up by
+                        # _segment_geometry) disagree with the decoder's
+                        # stream-row accounting — silent plane desync
+                        raise InvalidBitstream(
+                            "sparse value capacity not V-aligned"
+                        )
                     if hdr.num_symbols > _segment_geometry(
                             _sparse_pp(p), s_seg)[1]:
                         raise InvalidBitstream(
@@ -1133,7 +1161,12 @@ class Alc3Codec:
                           levels, sparse, tuple(kcaps)))
 
         chunks = []
-        segment_cap = w_rows * 128
+        # tightest encoder-reachable bound: s_seg steps emit ≤ NG words
+        # each plus the 2·NG state flush.  stream_rows() adds a margin
+        # row for aligned window reads — counts in that margin can never
+        # have been produced and would drive the decode kernel's init
+        # window read past the segment block.
+        segment_cap = (s_seg + 2) * NG
         for (step, hists, counts_list, band_steps, deep, levels, sparse,
              kcaps) in metas:
             flat_counts = np.concatenate(counts_list)
@@ -1150,7 +1183,7 @@ class Alc3Codec:
             if (flat_counts > segment_cap).any():
                 raise InvalidBitstream("segment word count exceeds capacity")
             n_rows = flat_counts.size
-            streams = np.zeros((n_rows, segment_cap), np.int32)
+            streams = np.zeros((n_rows, w_rows * 128), np.int32)
             for i, cnt in enumerate(flat_counts):
                 end = off + 2 * int(cnt)
                 if end > len(data):

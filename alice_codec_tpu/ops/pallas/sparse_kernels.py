@@ -61,6 +61,7 @@ DEFAULT_V_BLK = 4
 __all__ = [
     "BLOCK_ROWS",
     "block_geometry",
+    "block_value_rows",
     "plane_row_bases",
     "value_row_bases",
     "compact_pallas",
@@ -87,6 +88,20 @@ def _norm_krs(krs, nc: int) -> tuple[int, ...]:
     if len(krs) != nc:
         raise ValueError(f"{len(krs)} capacities for {nc} planes")
     return krs
+
+
+def block_value_rows(planes: jnp.ndarray, br: int = BLOCK_ROWS):
+    """Value rows each plane needs under block-major padding.
+
+    ``planes``: (nc, P) symbols (P a whole number of blocks).  Returns
+    (nc,) int32.  The ONE owner of the ceil-per-block rule — encoder
+    capacity sizing (alc3/pipeline phase 1) and the kernels' vbase
+    prepass must agree on it exactly."""
+    nc, p = planes.shape
+    blk = br * NG
+    cnt = jnp.sum(
+        (planes.reshape(nc, p // blk, blk) != 0).astype(jnp.int32), axis=-1)
+    return jnp.sum(-(-cnt // NG), axis=-1).astype(jnp.int32)
 
 
 def plane_row_bases(krs: tuple[int, ...], br: int = BLOCK_ROWS):
@@ -282,7 +297,7 @@ def compact_pallas(
         out_specs=(
             pl.BlockSpec((v_blk * br // 8, NG), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((v_blk * (br + 8), NG), jnp.int32),
@@ -409,7 +424,7 @@ def expand_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((v_blk * br // 8, NG), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((v_blk * br, NG), lambda s: (s, 0),
                                memory_space=pltpu.VMEM),

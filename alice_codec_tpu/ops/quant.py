@@ -139,7 +139,10 @@ def build_histogram(symbols: jnp.ndarray) -> jnp.ndarray:
         bins = jnp.arange(256, dtype=jnp.int32)
         onehot = (flat[:, None] == bins[None, :]).astype(jnp.uint32)
         return jnp.sum(onehot, axis=0, dtype=jnp.uint32)
-    chunk = 1 << 22
+    # chunk: big enough to amortize the MXU dispatch, but never larger
+    # than the (128-aligned) input — a fixed 2^22 chunk would pad a
+    # 200k-symbol plane 20× and build ~134 MB of dead one-hot temporaries
+    chunk = min(1 << 22, -(-n // 128) * 128)
     pad = (-n) % chunk
     if pad:
         # pad with an out-of-range sentinel so padding counts nowhere

@@ -54,7 +54,10 @@ __all__ = [
 DEFAULT_LANES = 64
 
 _MAGIC2 = b"ALC2"
-_VERSION2 = 1
+#: v2: per-lane step counts 8-aligned (_lane_sym_count) so the Pallas
+#: byte-lane decoder tiles at any shape — a different symbol padding
+#: than v1, so v1 files must be rejected, not silently mis-decoded.
+_VERSION2 = 2
 
 
 def _lane_sym_count(padded_pixels: int, n_lanes: int) -> int:

@@ -351,7 +351,7 @@ def encode_sparse_phase1(
     (3,) int32 — value rows each channel needs under block-major
     padding)``; symbols stay in HBM and the host fetches only the
     12-byte row counts to pick the value-capacity bucket for phase 2."""
-    from .ops.pallas.sparse_kernels import BLOCK_ROWS
+    from .ops.pallas.sparse_kernels import block_value_rows
 
     pw, ph, pf = padded
     p = pf * ph * pw
@@ -360,12 +360,7 @@ def encode_sparse_phase1(
     symbols = quant.to_symbols(qcoeffs).reshape(3, p)
     if pp != p:
         symbols = jnp.pad(symbols, ((0, 0), (0, pp - p)))
-    blk = BLOCK_ROWS * 128
-    cnt = jnp.sum(
-        (symbols.reshape(3, pp // blk, blk) != 0).astype(jnp.int32), axis=-1
-    )
-    ch_rows = jnp.sum(-(-cnt // 128), axis=-1).astype(jnp.int32)
-    return symbols, ch_rows
+    return symbols, block_value_rows(symbols)
 
 
 @partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels", "pp",
@@ -385,7 +380,7 @@ def encode_deep_sparse_phase1(
     :func:`encode_deep_device`, block-padded, plus per-plane value-row
     counts — each byte plane then rides the sparse pipeline independently
     (its own bitmap + compacted values)."""
-    from .ops.pallas.sparse_kernels import BLOCK_ROWS
+    from .ops.pallas.sparse_kernels import block_value_rows
 
     pw, ph, pf = padded
     p = pf * ph * pw
@@ -395,12 +390,7 @@ def encode_deep_sparse_phase1(
     )
     if pp != p:
         planes = jnp.pad(planes, ((0, 0), (0, pp - p)))
-    blk = BLOCK_ROWS * 128
-    cnt = jnp.sum(
-        (planes.reshape(6, pp // blk, blk) != 0).astype(jnp.int32), axis=-1
-    )
-    ch_rows = jnp.sum(-(-cnt // 128), axis=-1).astype(jnp.int32)
-    return planes, ch_rows
+    return planes, block_value_rows(planes)
 
 
 # ── Container types ─────────────────────────────────────────────

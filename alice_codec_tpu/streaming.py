@@ -110,7 +110,12 @@ class Alc3StreamWriter:
 
     def __init__(self, path, *, resume: bool = False):
         self._path = Path(path)
-        if resume and self._path.exists():
+        # resume must survive a crash ANYWHERE in the previous run —
+        # including before the 8-byte header finished writing.  A file
+        # shorter than the header (or never created) simply starts fresh;
+        # a wrong magic/version is a genuine error and still raises.
+        if (resume and self._path.exists()
+                and self._path.stat().st_size >= len(_HEADER)):
             reader = Alc3StreamReader(self._path)
             n = sum(1 for _ in reader)
             self.containers_written = n

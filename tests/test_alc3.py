@@ -580,3 +580,80 @@ def test_deep_sparse_lossy_matches_deep_dense():
     np.testing.assert_array_equal(
         ds.decode(ds.encode(rgb), as_numpy=True),
         dd.decode(dd.encode(rgb), as_numpy=True))
+
+
+def test_bucket_nv_clamped_to_plane_bound():
+    """A near-dense plane must never bucket past the dense segment count
+    (the from_bytes capacity bound) — the encoder would otherwise emit
+    containers its own parser rejects."""
+    from alice_codec_tpu.alc3 import (
+        DEFAULT_V_SEG, _bucket_nv, _segment_geometry, _sparse_pp)
+
+    for p in (1280 * 720 * 64, 1920 * 1080 * 64, 64 * 128 * 8):
+        pp = _sparse_pp(p)
+        max_nv = _segment_geometry(pp, 2048)[0]
+        max_rows = pp // 128  # value rows can never exceed the plane's
+        assert max_nv * 2048 >= max_rows
+        for need_rows in (1, max_rows // 3, max_rows - 1, max_rows):
+            nv = _bucket_nv(need_rows, 2048, max_nv)
+            assert nv <= max_nv
+            assert nv % DEFAULT_V_SEG == 0
+            assert nv * 2048 >= need_rows  # clamp never under-provisions
+
+
+def test_sparse_kcap_cache_keyed_by_geometry():
+    """The kcap cache is keyed per (nc, pp, s_seg): a previous encode of
+    a DIFFERENT geometry must never leak its (possibly far larger)
+    capacities into this chunk's wire, whose from_bytes bound they could
+    exceed (round-3 review finding)."""
+    from alice_codec_tpu.alc3 import _segment_geometry, _sparse_pp
+    from alice_codec_tpu.core import padded_dims_levels
+
+    codec = Alc3Codec(quality=80, s_seg=8, sparse=True)
+    # simulate a big-geometry encode having populated the cache
+    codec._krs_cache = {(3, 1 << 30, 8): (1 << 20,) * 3}
+    rgb = _video(2, 8, 8, seed=61)
+    ck = codec.encode(rgb)
+    p = int(np.prod(padded_dims_levels(8, 8, 2, 1)))
+    pp = _sparse_pp(p)
+    bound = _segment_geometry(pp, 8)[1]
+    assert all(0 < k <= bound for k in ck.kcaps)
+    # and the container parses + roundtrips
+    _, chunks = Alc3Codec.from_bytes(Alc3Codec.to_bytes(ck))
+    np.testing.assert_array_equal(
+        codec.decode(chunks[0], as_numpy=True),
+        codec.decode(ck, as_numpy=True))
+
+
+def test_sparse_container_rejects_unaligned_value_capacity():
+    """A crafted value-plane capacity that is segment-aligned but not
+    V-aligned must raise InvalidBitstream (the header segment count
+    would otherwise desync from the decoder's stream-row accounting)."""
+    import struct
+
+    from alice_codec_tpu.alc3 import NG
+    from alice_codec_tpu.errors import InvalidBitstream
+
+    rgb = _video(2, 16, 16, seed=62)
+    codec = Alc3Codec(quality=80, s_seg=8, sparse=True)
+    data = bytearray(Alc3Codec.to_bytes(codec.encode(rgb)))
+    # find the first value plane's header: 30 B fixed + 1 B flags, then
+    # 3 bitmap plane sections first — walk them
+    off = 31
+    nb = struct.unpack_from("<I", data, 26)[0]  # header n_segments field
+    s_seg = struct.unpack_from("<I", data, 22)[0]
+    from alice_codec_tpu.alc3 import _segment_geometry, _sparse_pp
+    from alice_codec_tpu.core import padded_dims_levels
+
+    p = int(np.prod(padded_dims_levels(16, 16, 2, 1)))
+    nbm_seg = _segment_geometry(_sparse_pp(p) // 8, s_seg)[0]
+    for _ in range(3):
+        off += 1040 + 4 * nbm_seg
+    # value-plane header num_symbols at offset 12 within the header
+    kcap = struct.unpack_from("<I", data, off + 12)[0]
+    assert kcap % (s_seg * NG) == 0
+    bad = kcap + s_seg * NG  # still segment-aligned, no longer V-aligned
+    assert (bad // (s_seg * NG)) % 8 != 0
+    struct.pack_into("<I", data, off + 12, bad)
+    with pytest.raises(InvalidBitstream):
+        Alc3Codec.from_bytes(bytes(data))
