@@ -96,7 +96,7 @@ def main() -> None:
     )
 
     s_seg = int(os.environ.get("ALC_MICRO_SSEG", "16"))
-    n_seg = int(os.environ.get("ALC_MICRO_NSEG", "4"))
+    n_seg = int(os.environ.get("ALC_MICRO_NSEG", "8"))  # v_seg=8 multiple
     n = n_seg * s_seg * 128
     seg_syms = np.minimum(
         rng.geometric(0.3, size=n) - 1, 255).astype(np.uint8)
@@ -114,6 +114,39 @@ def main() -> None:
         streams, counts, iters=3, warmup=1)
     results["alc3_encode_Msym_per_s"] = n / t_e / 1e6
     results["alc3_decode_Msym_per_s"] = n / t_d / 1e6
+
+    # ALC3 sparse compact/expand kernel throughput (Msym/s of PLANE
+    # symbols moved).  One 512-row block per plane by default — raise
+    # ALC_MICRO_SPARSE_BLOCKS on TPU for production numbers.
+    from alice_codec_tpu.ops.pallas.sparse_kernels import (
+        BLOCK_ROWS,
+        block_value_rows,
+        compact_pallas,
+        expand_pallas,
+        value_row_bases,
+    )
+
+    nb = int(os.environ.get("ALC_MICRO_SPARSE_BLOCKS", "1"))
+    v_blk = 4 if nb % 4 == 0 else 1
+    p = nb * BLOCK_ROWS * 128
+    sp = np.where(rng.random((3, p)) < 0.85, 0,
+                  rng.integers(1, 256, size=(3, p))).astype(np.uint8)
+    sp_j = jnp.asarray(sp)
+    kr = int(np.asarray(block_value_rows(sp_j)).max()) + 8
+    kr = -(-kr // 8) * 8
+    from alice_codec_tpu.ops.sparse_spec import pack_bitmap
+
+    bm = jnp.asarray(np.stack([pack_bitmap(sp[c]) for c in range(3)]))
+    vbase, _ = value_row_bases(bm, p, kr)
+    t_c = _time(
+        lambda s: compact_pallas(s, vbase, p=p, kr=kr, v_blk=v_blk),
+        sp_j, iters=3, warmup=1)
+    bms, vals = compact_pallas(sp_j, vbase, p=p, kr=kr, v_blk=v_blk)
+    t_x = _time(
+        lambda b, v: expand_pallas(b, v, vbase, p=p, kr=kr, v_blk=v_blk),
+        bms, vals, iters=3, warmup=1)
+    results["sparse_compact_Msym_per_s"] = 3 * p / t_c / 1e6
+    results["sparse_expand_Msym_per_s"] = 3 * p / t_x / 1e6
 
     for k, v in results.items():
         if k.endswith("MBps"):
