@@ -475,6 +475,39 @@ def _decode_chunk_sparse_rdo(streams, counts, hists, steps8, *,
 @partial(jax.jit, static_argnames=(
     "wavelet_type", "dims", "padded", "s_seg", "kcaps", "v_b",
     "exact", "levels"))
+def _decode_batch_sparse(streams, counts, hists, steps, *, wavelet_type,
+                         dims, padded, s_seg, kcaps, v_b, exact=False,
+                         levels=1):
+    """Batched sparse decode: ONE entropy+expand pass over B·3 planes,
+    then a ``lax.map``'d inverse transform.
+
+    ``streams``/``counts`` are ordered [all chunks' bitmap groups, in
+    chunk order][all value planes, global plane order]; ``hists``:
+    (B, 6, 256) per-chunk plane histograms; ``kcaps``: B·3 per-plane
+    value capacities; ``steps``: (B, 3) int32."""
+    b = hists.shape[0]
+    hh = jnp.concatenate([
+        hists[:, :3].reshape(b * 3, 256),
+        hists[:, 3:].reshape(b * 3, 256),
+    ])
+    p = padded[0] * padded[1] * padded[2]
+    symbols = _sparse_entropy_expand(
+        streams, counts, hh, p=p, s_seg=s_seg, kcaps=kcaps, v_b=v_b,
+        nc=3 * b)
+    symbols = symbols.reshape(b, 3, p)
+    return jax.lax.map(
+        lambda args: decode_device(
+            args[0], args[1], args[1], wavelet_type=wavelet_type,
+            dims=dims, padded=padded, exact=exact, levels=levels,
+            interleaved=True,
+        ),
+        (symbols, steps.astype(jnp.int32)),
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "dims", "padded", "s_seg", "kcaps", "v_b",
+    "exact", "levels"))
 def _decode_chunk_sparse_deep(streams, counts, hists, steps, *,
                               wavelet_type, dims, padded, s_seg, kcaps,
                               v_b, exact=False, levels=1):
@@ -487,6 +520,31 @@ def _decode_chunk_sparse_deep(streams, counts, hists, steps, *,
         planes, steps, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact, levels=levels, interleaved=True,
     )
+
+
+@partial(jax.jit, static_argnames=(
+    "wavelet_type", "padded", "pp", "levels"))
+def _sparse_phase1_batch(rgb_batch, step, dead_zone, *, wavelet_type,
+                         padded, pp, levels=1):
+    """Batched sparse phase 1: (B,T,H,W,3) → ((B·3, pp) symbols,
+    (B·3,) value-row counts) in ONE dispatch.
+
+    ``lax.map`` over the chunk axis (not vmap): the per-chunk transform
+    body compiles once and chunks execute sequentially inside the one
+    program — a chunk already saturates the chip, and the vmapped
+    1080p-scale transform is a known remote-compiler pathology
+    (parallel/batch.py round-2 note)."""
+    from .pipeline import encode_sparse_phase1
+
+    b = rgb_batch.shape[0]
+    symbols, ch_rows = jax.lax.map(
+        lambda r: encode_sparse_phase1(
+            r, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
+            pp=pp, levels=levels, interleaved=True,
+        ),
+        rgb_batch,
+    )                                     # (B,3,pp), (B,3)
+    return symbols.reshape(b * 3, pp), ch_rows.reshape(b * 3)
 
 
 @partial(jax.jit, static_argnames=("padded", "pp"))
@@ -681,10 +739,8 @@ class Alc3Codec:
 
     # ── device path (HBM-resident, zero host traffic) ───────────
 
-    def _sparse_phase2(self, symbols, ch_rows, pp, w, h, t, *,
-                       band_steps, deep=False) -> DeviceChunk:
-        """Shared sparse phase 2 with OPTIMISTIC per-plane capacity
-        bucketing.
+    def _sparse_encode_planes(self, symbols, ch_rows, pp):
+        """Optimistic per-plane capacity bucketing + phase-2 dispatch.
 
         Phase 2 dispatches immediately with the cached per-plane
         value-capacity buckets (keeping the device busy — no host sync
@@ -692,7 +748,8 @@ class Alc3Codec:
         guess and only an overflow re-dispatches with larger buckets
         (the in-graph vbase clamp keeps the optimistic run's DMAs in
         bounds).  Steady streams of similar content pay zero extra
-        dispatches.
+        dispatches.  Returns ``(streams, counts, hists, krs)`` for the
+        ``nc = symbols.shape[0]`` planes.
         """
         nb, _ = _segment_geometry(pp // 8, self.s_seg)
         nc = symbols.shape[0]
@@ -729,6 +786,13 @@ class Alc3Codec:
                 max(k, _bucket_nv(int(r), self.s_seg, max_nv) * self.s_seg)
                 for r, k in zip(rows, krs))
         cache[key] = krs
+        return streams, counts, hists, krs
+
+    def _sparse_phase2(self, symbols, ch_rows, pp, w, h, t, *,
+                       band_steps, deep=False) -> DeviceChunk:
+        """Shared sparse phase 2 (see :meth:`_sparse_encode_planes`)."""
+        streams, counts, hists, krs = self._sparse_encode_planes(
+            symbols, ch_rows, pp)
         return DeviceChunk(
             w, h, t, self.wavelet_type, self.step if band_steps is None
             else int(band_steps.min()), self.s_seg,
@@ -900,11 +964,15 @@ class Alc3Codec:
         groups).  With ``mesh`` (a 1-axis jax.sharding.Mesh whose axis
         divides B) the batch shard_maps over the chunk axis — pure data
         parallelism on ICI; bitstreams are identical to the unsharded
-        path.  Fixed-step mode only (rdo/deep batches: encode per chunk).
+        path.  Fixed-step dense and sparse modes batch; rdo/deep (and
+        sparse with a mesh — the capacity fetch is host-side) encode
+        per chunk.
         """
-        if self.rdo or self.deep or self.sparse:
+        if self.rdo or self.deep or (self.sparse and mesh is not None):
             return [self.encode(rgb_batch[i])
                     for i in range(rgb_batch.shape[0])]
+        if self.sparse:
+            return self._encode_batch_sparse(rgb_batch)
         if not isinstance(rgb_batch, jax.Array):
             rgb_batch = np.asarray(rgb_batch, np.uint8)
         if rgb_batch.ndim != 5 or rgb_batch.shape[-1] != 3:
@@ -944,10 +1012,86 @@ class Alc3Codec:
             for i in range(b)
         ]
 
+    def _encode_batch_sparse(self, rgb_batch) -> list[DeviceChunk]:
+        """Batched sparse encode: one phase-1 dispatch over B chunks,
+        then ONE compact + bitmap-coding grid over the B·3 planes."""
+        if not isinstance(rgb_batch, jax.Array):
+            rgb_batch = np.asarray(rgb_batch, np.uint8)
+        if rgb_batch.ndim != 5 or rgb_batch.shape[-1] != 3:
+            raise InvalidBufferSize(5, rgb_batch.ndim)
+        b, t, h, w, _ = rgb_batch.shape
+        padded = padded_dims_levels(w, h, t, self.levels)
+        p = int(np.prod(padded))
+        pp = _sparse_pp(p)
+        step = jnp.int32(self.step)
+        symbols, ch_rows = _sparse_phase1_batch(
+            jnp.asarray(rgb_batch), step, step,
+            wavelet_type=self.wavelet_type, padded=padded, pp=pp,
+            levels=self.levels,
+        )
+        streams, counts, hists, krs = self._sparse_encode_planes(
+            symbols, ch_rows, pp)
+        # split the B·3-plane result into B self-contained DeviceChunks:
+        # plane order is [all bitmaps (chunk-major)][all value planes]
+        nb, _ = _segment_geometry(pp // 8, self.s_seg)
+        nvs = [k // self.s_seg for k in krs]
+        voff = [3 * b * nb]
+        for nv in nvs:
+            voff.append(voff[-1] + nv)
+        chunks = []
+        for i in range(b):
+            bm = slice(3 * i * nb, 3 * (i + 1) * nb)
+            v0, v1 = voff[3 * i], voff[3 * i + 3]
+            chunks.append(DeviceChunk(
+                w, h, t, self.wavelet_type, self.step, self.s_seg,
+                jnp.concatenate([streams[bm], streams[v0:v1]], axis=0),
+                jnp.concatenate([counts[bm], counts[v0:v1]], axis=0),
+                jnp.concatenate(
+                    [hists[3 * i : 3 * i + 3],
+                     hists[3 * b + 3 * i : 3 * b + 3 * i + 3]], axis=0),
+                levels=self.levels, sparse=True,
+                kcaps=tuple(k * NG for k in krs[3 * i : 3 * i + 3]),
+            ))
+        return chunks
+
     def decode_batch(self, chunks: list[DeviceChunk], *, exact: bool = False,
                      mesh=None):
         """Decode same-shape fixed-step chunks in one dispatch → (B, T, H,
         W, 3) uint8 jax.Array (see :meth:`encode_batch` for ``mesh``)."""
+        c0 = chunks[0]
+        batchable_sparse = (
+            mesh is None
+            and all(
+                c.sparse and not c.deep and c.band_steps is None
+                and (c.width, c.height, c.frames, c.s_seg, c.levels,
+                     c.wavelet_type)
+                == (c0.width, c0.height, c0.frames, c0.s_seg, c0.levels,
+                    c0.wavelet_type)
+                for c in chunks
+            )
+        )
+        if batchable_sparse:
+            b = len(chunks)
+            w, h, t = c0.width, c0.height, c0.frames
+            padded = padded_dims_levels(w, h, t, c0.levels)
+            pp = _sparse_pp(int(np.prod(padded)))
+            nb, _ = _segment_geometry(pp // 8, c0.s_seg)
+            streams = jnp.concatenate(
+                [c.streams[: 3 * nb] for c in chunks]
+                + [c.streams[3 * nb :] for c in chunks], axis=0)
+            counts = jnp.concatenate(
+                [c.counts[: 3 * nb] for c in chunks]
+                + [c.counts[3 * nb :] for c in chunks], axis=0)
+            hists = jnp.stack([c.hists for c in chunks])  # (B, 6, 256)
+            steps = jnp.asarray(
+                [[c.quant_step] * 3 for c in chunks], jnp.int32)
+            return _decode_batch_sparse(
+                streams, counts, hists, steps,
+                wavelet_type=c0.wavelet_type, dims=(w, h, t),
+                padded=padded, s_seg=c0.s_seg,
+                kcaps=tuple(k for c in chunks for k in c.kcaps),
+                v_b=_pick_v_seg(nb), exact=exact, levels=c0.levels,
+            )
         if any(c.band_steps is not None or c.deep or c.sparse for c in chunks):
             return jnp.stack([self.decode(c, exact=exact) for c in chunks])
         c0 = chunks[0]

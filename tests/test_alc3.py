@@ -657,3 +657,52 @@ def test_sparse_container_rejects_unaligned_value_capacity():
     struct.pack_into("<I", data, off + 12, bad)
     with pytest.raises(InvalidBitstream):
         Alc3Codec.from_bytes(bytes(data))
+
+
+def test_sparse_batch_encode_decode_matches_per_chunk():
+    """Batched sparse execution: encode_batch folds B chunks' planes into
+    one compact + bitmap-coding dispatch; decode_batch expands them in
+    one pass.  Reconstruction must equal the per-chunk path, and every
+    batched chunk's container must parse.
+
+    Runs in a SUBPROCESS: compiling the batched-sparse decode program
+    late in a long-lived many-compile pytest process segfaults inside
+    jaxlib's persistent-cache executable serialization
+    (compilation_cache.put_executable_and_time) on this jaxlib build —
+    the same compile in a fresh process round-trips the cache fine, so
+    isolate the process rather than the coverage."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("ALC_SUBPROC") != "1":
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             __file__ + "::test_sparse_batch_encode_decode_matches_per_chunk"],
+            env={**os.environ, "ALC_SUBPROC": "1"},
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0
+        return
+    rgbs = np.stack([_video(2, 16, 16, seed=70 + i) for i in range(3)])
+    codec = Alc3Codec(quality=80, s_seg=8, sparse=True)
+    chunks = codec.encode_batch(rgbs)
+    assert len(chunks) == 3 and all(c.sparse for c in chunks)
+    # batched decode
+    out_b = np.asarray(codec.decode_batch(chunks))
+    # per-chunk reference
+    ref = np.stack([
+        codec.decode(codec.encode(rgbs[i]), as_numpy=True)
+        for i in range(3)
+    ])
+    np.testing.assert_array_equal(out_b, ref)
+    # per-chunk decode of the batched chunks agrees too
+    for i, c in enumerate(chunks):
+        np.testing.assert_array_equal(
+            codec.decode(c, as_numpy=True), ref[i])
+    # containers parse and roundtrip
+    data = Alc3Codec.to_bytes(chunks)
+    codec2, back = Alc3Codec.from_bytes(data)
+    assert len(back) == 3
+    np.testing.assert_array_equal(
+        np.asarray(codec2.decode(back[1], as_numpy=True)), ref[1])
