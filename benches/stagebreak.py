@@ -28,6 +28,8 @@ def _sync(x):
 def main():
     small = "--small" in sys.argv
     iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 3
+    if "--sparse" in sys.argv:
+        return sparse_main(small, iters)
 
     import jax
     import jax.numpy as jnp
@@ -125,6 +127,113 @@ def main():
     nsym = 3 * p
     print(f"entropy encode {nsym/t_enc/1e6:.0f} Msym/s, "
           f"decode(+tables) {nsym/t_dec/1e6:.0f} Msym/s")
+
+
+def sparse_main(small, iters):
+    """Per-stage timing of the SPARSE path (the flagship default)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from alice_codec_tpu.alc3 import (
+        Alc3Codec, _encode_chunk_sparse, _pick_v_blk, _pick_v_seg,
+        _segment_geometry, _sparse_entropy_expand, _sparse_pp,
+    )
+    from alice_codec_tpu.core import WaveletType, padded_dims
+    from alice_codec_tpu.ops.pallas.sparse_kernels import (
+        BLOCK_ROWS, block_geometry, compact_pallas, plane_row_bases,
+    )
+    from alice_codec_tpu.pipeline import decode_device, encode_sparse_phase1
+    from bench import _test_chunk
+
+    t, h, w = (16, 270, 480) if small else (64, 1080, 1920)
+    padded = padded_dims(w, h, t)
+    p = int(np.prod(padded))
+    pp = _sparse_pp(p)
+    wt = WaveletType.CDF53
+    codec = Alc3Codec(quality=90, wavelet="cdf53", sparse=True)
+    s_seg = codec.s_seg
+    step = jnp.int32(codec.step)
+
+    rgb = jax.device_put(jnp.asarray(_test_chunk(t, h, w)))
+    jax.block_until_ready(rgb)
+    t0 = time.perf_counter()
+    _ = np.asarray(rgb[0, 0, 0, 0])
+    print(f"first-fetch warm: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    print(f"shape {t}x{h}x{w} p={p} pp={pp}", file=sys.stderr)
+
+    def timed(name, fn, *args, n=iters, sync=None, **kw):
+        def _s(out):
+            x = sync(out) if sync is not None else jax.tree.leaves(out)[0]
+            _sync(x)
+
+        out = fn(*args, **kw)
+        _s(out)
+        start = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args, **kw)
+            _s(out)
+        dt = (time.perf_counter() - start) / n
+        print(f"{name:36s} {dt*1000:9.1f} ms", flush=True)
+        return out, dt
+
+    # ── encode stages ────────────────────────────────────────────
+    (sym_rows), t_p1 = timed(
+        "phase1 transform+quant+sym+rows", encode_sparse_phase1,
+        rgb, step, step, wavelet_type=wt, padded=padded, pp=pp,
+        interleaved=True)
+    symbols, ch_rows = sym_rows
+
+    # warm the codec's kcap cache, then time phase 2 as dispatched
+    chunk = codec.encode(rgb)
+    krs = tuple(k // 128 for k in chunk.kcaps)
+    nb_seg, _ = _segment_geometry(pp // 8, s_seg)
+    _, t_p2 = timed(
+        "phase2 compact+hists+tables+entropy", _encode_chunk_sparse,
+        symbols, ch_rows, pp=pp, s_seg=s_seg, krs=krs,
+        v_b=_pick_v_seg(nb_seg))
+
+    # phase-2 internals: compact alone
+    _, nbk = block_geometry(pp, BLOCK_ROWS)
+    bases, _ = plane_row_bases(krs, BLOCK_ROWS)
+    cnt = jnp.sum((symbols.reshape(3, nbk, BLOCK_ROWS * 128) != 0
+                   ).astype(jnp.int32), axis=-1)
+    rows = -(-cnt // 128)
+    excl = jnp.minimum(jnp.cumsum(rows, axis=-1) - rows,
+                       jnp.asarray(krs, jnp.int32)[:, None])
+    vbase = (excl + jnp.asarray(bases, jnp.int32)[:, None]).reshape(-1)
+    vbase = jax.block_until_ready(vbase)
+    _, t_cp = timed(
+        "  compact kernel alone", compact_pallas, symbols, vbase,
+        p=pp, kr=krs, br=BLOCK_ROWS, v_blk=_pick_v_blk(nbk))
+
+    # ── decode stages ────────────────────────────────────────────
+    ent = functools.partial(
+        jax.jit(_sparse_entropy_expand,
+                static_argnames=("p", "s_seg", "kcaps", "v_b", "nc")),
+        chunk.streams, chunk.counts, chunk.hists)
+    (dsym), t_ee = timed(
+        "entropy decode + expand", ent, p=p, s_seg=s_seg,
+        kcaps=chunk.kcaps, v_b=_pick_v_seg(nb_seg))
+
+    steps3 = jnp.full((3,), codec.step, jnp.int32)
+    dec_t = functools.partial(
+        decode_device, wavelet_type=wt, dims=(w, h, t), padded=padded,
+        interleaved=True)
+    _, t_inv = timed("inverse transform", dec_t, dsym, steps3, steps3)
+
+    # full e2e for reference
+    _, t_enc = timed("full encode()", codec.encode, rgb,
+                     sync=lambda c: c.counts)
+    _, t_dec = timed("full decode()", codec.decode, chunk)
+
+    print("-" * 50)
+    print(f"stage sum: encode {1000*(t_p1+t_p2):.1f} ms "
+          f"decode {1000*(t_ee+t_inv):.1f} ms | "
+          f"e2e encode {1000*t_enc:.1f} ms decode {1000*t_dec:.1f} ms")
+    print(f"roundtrip (stage sum) {1000*(t_p1+t_p2+t_ee+t_inv):.1f} ms "
+          f"=> {1/(t_p1+t_p2+t_ee+t_inv):.2f} chunks/s")
 
 
 if __name__ == "__main__":
