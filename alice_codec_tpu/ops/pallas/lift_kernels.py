@@ -1,0 +1,189 @@
+"""Pallas TPU kernels for the interleaved 3D lifting transform.
+
+The XLA form of the interleaved transform (wavelet.forward_3d_inter) is
+six full-volume elementwise passes per level for CDF 5/3 (2 lifting
+steps × 3 axes), each reading and writing the 531 MB channel volume at
+1080p×64 plus the two rolled copies XLA materializes — measured 257 ms
+forward / 241 ms inverse at 1080p inside the sparse phase programs
+(benches/stagebreak.py --sparse).  These kernels collapse a level-0
+3D lift into TWO HBM passes:
+
+* **spatial kernel** — grid over (channel, frame); the block is one full
+  (H, W) frame resident in VMEM (8.3 MB at 1080p), so the W-axis lift
+  (all steps) and then the H-axis lift run back-to-back with no HBM
+  round-trip and no halo exchange: the frame's edges ARE the volume's
+  spatial edges, so the reference mirror rules (src/wavelet.rs:180-217)
+  are plain iota masks.
+* **temporal kernel** — grid over (channel, H-block); the block is a
+  (T, Hb, W) slab (full temporal extent), so the T-axis lift needs no
+  neighbor exchange either.
+
+Same integer arithmetic as wavelet._delta (exact int32 decomposition of
+the reference's i64 product), same in-place parity layout, same two
+inverse modes (±1 compat replay / exact undo) — forward_3d_pallas is
+bit-identical to wavelet.forward_3d_inter at level 0 (tests/test_lift_kernels.py).
+
+Multi-level decompositions reuse these kernels for level 0 (the full-
+resolution level is >87% of the work) and fall back to the XLA subgrid
+lifts for levels ≥ 1.
+
+Shape gate: the spatial block (two H×W i32 buffers, double-buffered)
+must fit the Mosaic VMEM grant — ``spatial_ok`` refuses beyond ~4 MP
+frames and callers fall back to the XLA path (4K streaming uses the
+XLA form until a halo-split spatial kernel lands).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core import WaveletType
+from ..wavelet import LIFTING_STEPS, _delta
+from .rans3_kernels import _compiler_params
+
+__all__ = ["lift3d_ok", "forward_3d_pallas", "inverse_3d_pallas"]
+
+#: VMEM budget for one grid slot's in+out blocks (double-buffered by the
+#: pipeline ⇒ ×2), kept under the 96 MB Mosaic grant with headroom for
+#: the lift temporaries.
+_SLOT_BYTES = 40 * 1024 * 1024
+
+
+def _roll(x, shift: int, axis: int):
+    """Static circular shift: out[i] = x[i - shift].  Written as two
+    static slices + concatenate (Mosaic-supported on every axis; the
+    circular wrap rows are always overridden by the edge masks)."""
+    n = x.shape[axis]
+    if shift == 1:
+        a = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+        b = jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)
+    elif shift == -1:
+        a = jax.lax.slice_in_dim(x, 1, n, axis=axis)
+        b = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        return jnp.concatenate([a, b], axis=axis)
+    else:  # pragma: no cover - only ±1 used
+        raise ValueError(shift)
+    return jnp.concatenate([a, b], axis=axis)
+
+
+def _lift_axis(x, coeff: int, predict: bool, axis: int,
+               inverse_exact: bool = False):
+    """One level-0 lifting step along ``axis`` of a VMEM-resident tile
+    whose extent along ``axis`` is the FULL volume extent (edge rules
+    apply at tile edges).  Mirrors wavelet._lift_inter at s=1."""
+    n = x.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    nl = _roll(x, 1, axis)
+    nr = _roll(x, -1, axis)
+    if predict:
+        tgt = (idx & 1) == 1
+        nbr = nl + jnp.where(idx == n - 1, nl, nr)
+    else:
+        tgt = (idx & 1) == 0
+        nbr = jnp.where(idx == 0, nr, nl) + nr
+    d = _delta(nbr, coeff)
+    return jnp.where(tgt, x - d if inverse_exact else x + d, x)
+
+
+def _steps(wavelet: WaveletType, inverse: bool, exact: bool):
+    """(coeff, predict, inverse_exact) triples in application order."""
+    base = LIFTING_STEPS[wavelet]
+    if not inverse:
+        return tuple((c, p, False) for c, p in base)
+    if exact:
+        return tuple((c, p, True) for c, p in reversed(base))
+    return tuple((-c, p, False) for c, p in reversed(base))
+
+
+def _spatial_kernel(steps, axes_order, x_ref, o_ref):
+    x = x_ref[0, 0]  # (H, W) int32 — one full frame
+    for axis in axes_order:
+        for coeff, predict, inv in steps:
+            x = _lift_axis(x, coeff, predict, axis, inverse_exact=inv)
+    o_ref[0, 0] = x
+
+
+def _temporal_kernel(steps, x_ref, o_ref):
+    x = x_ref[0]  # (T, Hb, W) int32 — full temporal extent
+    for coeff, predict, inv in steps:
+        x = _lift_axis(x, coeff, predict, 0, inverse_exact=inv)
+    o_ref[0] = x
+
+
+def _pick_hb(t: int, h: int, w: int) -> int:
+    """Largest divisor of H whose (T, Hb, W) in+out slabs fit the slot
+    budget (any divisor works — the T lift has no H dependency)."""
+    cap = max(1, _SLOT_BYTES // (t * w * 4 * 2))
+    hb = 0
+    for d in range(1, h + 1):
+        if h % d == 0 and d <= cap:
+            hb = d
+    return hb
+
+
+def lift3d_ok(shape: tuple[int, ...]) -> bool:
+    """True when the fused kernels handle a (..., T, H, W) volume: the
+    spatial (H, W) frame pair and some (T, Hb, W) slab must fit VMEM,
+    and every axis must be even (level-0 in-place lifting)."""
+    t, h, w = shape[-3], shape[-2], shape[-1]
+    if t % 2 or h % 2 or w % 2:
+        return False
+    if h * w * 4 * 2 > _SLOT_BYTES:
+        return False
+    return _pick_hb(t, h, w) >= 1
+
+
+def _run(volume, steps_sp, steps_t, axes_sp, *, temporal_first: bool,
+         interpret: bool):
+    c, t, h, w = volume.shape
+    spatial = pl.pallas_call(
+        partial(_spatial_kernel, steps_sp, axes_sp),
+        out_shape=jax.ShapeDtypeStruct(volume.shape, jnp.int32),
+        grid=(c, t),
+        in_specs=[pl.BlockSpec((1, 1, h, w), lambda ci, ti: (ci, ti, 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, h, w), lambda ci, ti: (ci, ti, 0, 0)),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )
+    hb = _pick_hb(t, h, w)
+    temporal = pl.pallas_call(
+        partial(_temporal_kernel, steps_t),
+        out_shape=jax.ShapeDtypeStruct(volume.shape, jnp.int32),
+        grid=(c, h // hb),
+        in_specs=[pl.BlockSpec((1, t, hb, w), lambda ci, hi: (ci, 0, hi, 0))],
+        out_specs=pl.BlockSpec((1, t, hb, w), lambda ci, hi: (ci, 0, hi, 0)),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )
+    if temporal_first:
+        return spatial(temporal(volume))
+    return temporal(spatial(volume))
+
+
+@partial(jax.jit, static_argnames=("wavelet", "interpret"))
+def forward_3d_pallas(volume, wavelet: WaveletType,
+                      interpret: bool = False):
+    """Level-0 interleaved 3D forward lift of a (C, T, H, W) int32
+    volume — bit-identical to wavelet.forward_3d_inter(·, ·, levels=1)."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    steps = _steps(wavelet, inverse=False, exact=False)
+    return _run(volume.astype(jnp.int32), steps, steps, (1, 0),
+                temporal_first=False, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("wavelet", "exact", "interpret"))
+def inverse_3d_pallas(volume, wavelet: WaveletType, *,
+                      exact: bool = False, interpret: bool = False):
+    """Level-0 interleaved 3D inverse (compat ±1 replay, or exact undo
+    with ``exact=True``) — matches wavelet.inverse_3d_inter."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    steps = _steps(wavelet, inverse=True, exact=exact)
+    return _run(volume.astype(jnp.int32), steps, steps, (0, 1),
+                temporal_first=True, interpret=interpret)

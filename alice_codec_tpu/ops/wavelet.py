@@ -338,12 +338,14 @@ def _level_active(shape, k: int, ax: int):
 
 
 def forward_3d_inter(volume: jnp.ndarray, wavelet: WaveletType,
-                     levels: int = 1) -> jnp.ndarray:
+                     levels: int = 1, start_level: int = 0) -> jnp.ndarray:
     """Interleaved 3D forward on ``(..., T, H, W)``: rows → columns →
     temporal per level, subgrids in place (dims divisible by
     2^levels).  Level k lifts only the LLL subgrid (indices ≡ 0 mod 2^k
-    on every axis), matching forward_3d_multi's box recursion."""
-    for k in range(levels):
+    on every axis), matching forward_3d_multi's box recursion.
+    ``start_level`` skips the first levels (the Pallas fused kernels
+    handle level 0; this applies the remaining subgrid levels)."""
+    for k in range(start_level, levels):
         for ax in (-1, -2, -3):
             volume = forward_1d_inter(
                 volume, wavelet, axis=ax, level=k,
@@ -352,9 +354,11 @@ def forward_3d_inter(volume: jnp.ndarray, wavelet: WaveletType,
 
 
 def inverse_3d_inter(volume: jnp.ndarray, wavelet: WaveletType,
-                     levels: int = 1, *, exact: bool = False) -> jnp.ndarray:
-    """Inverse of :func:`forward_3d_inter`."""
-    for k in reversed(range(levels)):
+                     levels: int = 1, *, exact: bool = False,
+                     stop_level: int = 0) -> jnp.ndarray:
+    """Inverse of :func:`forward_3d_inter`.  ``stop_level`` stops before
+    the last levels (the Pallas fused kernels finish level 0)."""
+    for k in reversed(range(stop_level, levels)):
         for ax in (-3, -2, -1):
             volume = inverse_1d_inter(
                 volume, wavelet, axis=ax, level=k, exact=exact,

@@ -77,10 +77,23 @@ def _transform(rgb, wavelet_type, padded, levels=1, interleaved=False):
     )
     if interleaved:
         # ALC3 fast path: in-place interleaved layout — no [low|high]
-        # relayouts (see wavelet.forward_3d_inter).  lax.map over the
-        # channel axis: the lifting steps' roll/mask temporaries live per
-        # channel (~1/3 the peak HBM — the fused 3-channel form OOMs at
-        # 1080p), and the body compiles once.
+        # relayouts (see wavelet.forward_3d_inter).  Level 0 (>87% of
+        # the lifting work) runs in the fused Pallas kernels — two HBM
+        # passes instead of six roll/mask XLA passes (measured 167 ms of
+        # the 1080p phase-1 program); remaining levels use the XLA
+        # subgrid lifts.  Shapes the kernels can't tile fall back to the
+        # per-channel lax.map (whose roll/mask temporaries live per
+        # channel — the fused 3-channel XLA form OOMs at 1080p).
+        from .ops.pallas.lift_kernels import forward_3d_pallas, lift3d_ok
+
+        if lift3d_ok(chans.shape):
+            out = forward_3d_pallas(chans, wavelet_type)
+            if levels > 1:
+                out = jax.lax.map(
+                    lambda c: wavelet.forward_3d_inter(
+                        c, wavelet_type, levels, start_level=1),
+                    out)
+            return out
         return jax.lax.map(
             lambda c: wavelet.forward_3d_inter(c, wavelet_type, levels),
             chans)
@@ -91,7 +104,18 @@ def _transform(rgb, wavelet_type, padded, levels=1, interleaved=False):
 
 def _inverse_3d(coeffs, wavelet_type, levels, exact, interleaved):
     if interleaved:
-        # per-channel map: see _transform (peak-HBM discipline at 1080p)
+        # mirror of _transform: XLA subgrid inverses down to level 1,
+        # Pallas fused kernels for level 0; lax.map fallback otherwise.
+        from .ops.pallas.lift_kernels import inverse_3d_pallas, lift3d_ok
+
+        if lift3d_ok(coeffs.shape):
+            if levels > 1:
+                coeffs = jax.lax.map(
+                    lambda c: wavelet.inverse_3d_inter(
+                        c, wavelet_type, levels, exact=exact,
+                        stop_level=1),
+                    coeffs)
+            return inverse_3d_pallas(coeffs, wavelet_type, exact=exact)
         return jax.lax.map(
             lambda c: wavelet.inverse_3d_inter(c, wavelet_type, levels,
                                                exact=exact),

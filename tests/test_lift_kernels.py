@@ -1,0 +1,56 @@
+"""Parity tests: Pallas fused 3D lifting kernels vs the XLA interleaved
+transform (which is itself oracle-verified against the reference lifting
+arithmetic in test_wavelet.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from alice_codec_tpu.core import WaveletType
+from alice_codec_tpu.ops import wavelet
+from alice_codec_tpu.ops.pallas.lift_kernels import (
+    forward_3d_pallas, inverse_3d_pallas, lift3d_ok)
+
+WAVELETS = [WaveletType.HAAR, WaveletType.CDF53, WaveletType.CDF97]
+SHAPES = [(2, 4, 6, 8), (1, 8, 10, 128), (3, 2, 2, 2), (2, 6, 8, 130)]
+
+
+def _vol(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.integers(-4000, 4000, size=shape, dtype=np.int32))
+
+
+@pytest.mark.parametrize("wt", WAVELETS)
+@pytest.mark.parametrize("shape", SHAPES)
+def test_forward_matches_xla(wt, shape):
+    x = _vol(shape)
+    want = jnp.stack([wavelet.forward_3d_inter(c, wt) for c in x])
+    got = forward_3d_pallas(x, wt)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("wt", WAVELETS)
+@pytest.mark.parametrize("exact", [False, True])
+def test_inverse_matches_xla(wt, exact):
+    shape = (2, 4, 6, 128)
+    coeffs = forward_3d_pallas(_vol(shape, 1), wt)
+    want = jnp.stack([
+        wavelet.inverse_3d_inter(c, wt, exact=exact) for c in coeffs])
+    got = inverse_3d_pallas(coeffs, wt, exact=exact)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("wt", WAVELETS)
+def test_exact_roundtrip(wt):
+    x = _vol((1, 4, 8, 130), 2)
+    back = inverse_3d_pallas(forward_3d_pallas(x, wt), wt, exact=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_lift3d_ok_gate():
+    assert lift3d_ok((3, 64, 1080, 1920))
+    assert not lift3d_ok((3, 64, 1080, 1921))  # odd W
+    assert not lift3d_ok((3, 63, 1080, 1920))  # odd T
+    assert not lift3d_ok((3, 64, 2160, 3840))  # 4K frame exceeds VMEM
