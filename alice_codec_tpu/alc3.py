@@ -1320,7 +1320,10 @@ class Alc3Codec:
             # been produced by the encoder)
             if flat_counts.size == 0:
                 raise InvalidBitstream("ALC3 chunk with no segments")
-            if (flat_counts < 2 * NG).any():
+            # count == 0 marks an ELIDED all-zero segment (decodes to
+            # zeros without entering the rANS chain — rans_word.py);
+            # anything else below the 2·NG state flush is unreachable
+            if ((flat_counts != 0) & (flat_counts < 2 * NG)).any():
                 raise InvalidBitstream(
                     "segment word count below the state-flush minimum"
                 )

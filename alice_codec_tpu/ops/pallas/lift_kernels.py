@@ -115,6 +115,38 @@ def _temporal_kernel(steps, x_ref, o_ref):
     o_ref[0] = x
 
 
+def _temporal_quant_kernel(steps, x_ref, q_ref, o_ref):
+    """Forward temporal lift fused with dead-zone quantize + zigzag:
+    emits uint8 wire symbols directly (the fixed-step encode path skips
+    the separate XLA quantize/symbolize pass over the i32 volume).
+    ``q_ref``: SMEM (2, C) — [step; dead_zone] per channel."""
+    ci = pl.program_id(0)
+    step = q_ref[0, ci]
+    dz = q_ref[1, ci]
+    x = x_ref[0]
+    for coeff, predict, inv in steps:
+        x = _lift_axis(x, coeff, predict, 0, inverse_exact=inv)
+    # quant.quantize + quant.to_symbols, inlined (same arithmetic;
+    # reference src/quant.rs:89-97, 547-563)
+    av = jnp.abs(x)
+    q = jnp.where(av < dz, 0, jnp.sign(x) * ((av - (dz >> 1)) // step))
+    s = jnp.where(q > 0, 2 * q - 1, -2 * q)
+    o_ref[0] = (s & 0xFF).astype(jnp.uint8)
+
+
+def _temporal_dequant_kernel(steps, x_ref, q_ref, o_ref):
+    """Un-zigzag + dequantize fused with the inverse temporal lift: the
+    decode path feeds uint8 wire symbols straight into the first inverse
+    pass.  ``q_ref``: SMEM (1, C) step per channel."""
+    ci = pl.program_id(0)
+    step = q_ref[0, ci]
+    s = x_ref[0].astype(jnp.int32)
+    x = jnp.where(s % 2 == 1, (s + 1) // 2, -(s // 2)) * step
+    for coeff, predict, inv in steps:
+        x = _lift_axis(x, coeff, predict, 0, inverse_exact=inv)
+    o_ref[0] = x
+
+
 def _pick_hb(t: int, h: int, w: int) -> int:
     """Largest divisor of H whose (T, Hb, W) in+out slabs fit the slot
     budget (any divisor works — the T lift has no H dependency)."""
@@ -138,28 +170,43 @@ def lift3d_ok(shape: tuple[int, ...]) -> bool:
     return _pick_hb(t, h, w) >= 1
 
 
-def _run(volume, steps_sp, steps_t, axes_sp, *, temporal_first: bool,
-         interpret: bool):
-    c, t, h, w = volume.shape
-    spatial = pl.pallas_call(
+def _spatial_call(shape, steps_sp, axes_sp, interpret):
+    c, t, h, w = shape
+    return pl.pallas_call(
         partial(_spatial_kernel, steps_sp, axes_sp),
-        out_shape=jax.ShapeDtypeStruct(volume.shape, jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.int32),
         grid=(c, t),
         in_specs=[pl.BlockSpec((1, 1, h, w), lambda ci, ti: (ci, ti, 0, 0))],
         out_specs=pl.BlockSpec((1, 1, h, w), lambda ci, ti: (ci, ti, 0, 0)),
         compiler_params=_compiler_params(),
         interpret=interpret,
     )
+
+
+def _temporal_call(shape, kernel, out_dtype, quant_rows, interpret):
+    c, t, h, w = shape
     hb = _pick_hb(t, h, w)
-    temporal = pl.pallas_call(
-        partial(_temporal_kernel, steps_t),
-        out_shape=jax.ShapeDtypeStruct(volume.shape, jnp.int32),
+    specs = [pl.BlockSpec((1, t, hb, w), lambda ci, hi: (ci, 0, hi, 0))]
+    if quant_rows:
+        specs.append(pl.BlockSpec((quant_rows, c), lambda ci, hi: (0, 0),
+                                  memory_space=pltpu.SMEM))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, out_dtype),
         grid=(c, h // hb),
-        in_specs=[pl.BlockSpec((1, t, hb, w), lambda ci, hi: (ci, 0, hi, 0))],
+        in_specs=specs,
         out_specs=pl.BlockSpec((1, t, hb, w), lambda ci, hi: (ci, 0, hi, 0)),
         compiler_params=_compiler_params(),
         interpret=interpret,
     )
+
+
+def _run(volume, steps_sp, steps_t, axes_sp, *, temporal_first: bool,
+         interpret: bool):
+    spatial = _spatial_call(volume.shape, steps_sp, axes_sp, interpret)
+    temporal = _temporal_call(
+        volume.shape, partial(_temporal_kernel, steps_t), jnp.int32,
+        0, interpret)
     if temporal_first:
         return spatial(temporal(volume))
     return temporal(spatial(volume))
@@ -187,3 +234,40 @@ def inverse_3d_pallas(volume, wavelet: WaveletType, *,
     steps = _steps(wavelet, inverse=True, exact=exact)
     return _run(volume.astype(jnp.int32), steps, steps, (0, 1),
                 temporal_first=True, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("wavelet", "interpret"))
+def forward_quant_pallas(volume, wavelet: WaveletType, step, dead_zone,
+                         interpret: bool = False):
+    """forward_3d_pallas fused with dead-zone quantize + zigzag on the
+    output pass: (C, T, H, W) int32 → uint8 wire symbols.  ``step`` /
+    ``dead_zone``: shape-(C,) int32 per-channel quantizer params.
+    Bit-identical to quant.to_symbols(quant.quantize(forward, s, d))."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    steps = _steps(wavelet, inverse=False, exact=False)
+    volume = volume.astype(jnp.int32)
+    spatial = _spatial_call(volume.shape, steps, (1, 0), interpret)
+    temporal = _temporal_call(
+        volume.shape, partial(_temporal_quant_kernel, steps), jnp.uint8,
+        2, interpret)
+    q = jnp.stack([jnp.asarray(step, jnp.int32).reshape(-1),
+                   jnp.asarray(dead_zone, jnp.int32).reshape(-1)])
+    return temporal(spatial(volume), q)
+
+
+@partial(jax.jit, static_argnames=("wavelet", "exact", "interpret"))
+def inverse_dequant_pallas(symbols, wavelet: WaveletType, step, *,
+                           exact: bool = False, interpret: bool = False):
+    """inverse_3d_pallas fused with un-zigzag + dequantize on the input
+    pass: (C, T, H, W) uint8 wire symbols → reconstructed int32 volume.
+    ``step``: shape-(C,) int32."""
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    steps = _steps(wavelet, inverse=True, exact=exact)
+    spatial = _spatial_call(symbols.shape, steps, (0, 1), interpret)
+    temporal = _temporal_call(
+        symbols.shape, partial(_temporal_dequant_kernel, steps),
+        jnp.int32, 1, interpret)
+    q = jnp.asarray(step, jnp.int32).reshape(1, -1)
+    return spatial(temporal(symbols.astype(jnp.uint8), q))

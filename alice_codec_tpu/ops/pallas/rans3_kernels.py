@@ -75,6 +75,10 @@ NG = 128
 #: 668→684 decode at s_seg=2048, 512 segments on v5e.
 DEFAULT_V_SEG = 8
 
+#: encode-side V-batching ceiling (decode keeps DEFAULT_V_SEG — its
+#: heavier chain knees at 8: 614 Msym/s at 8, 611 at 16 on v5e).
+_ENC_V_SEG_MAX = 16
+
 #: manual step-unroll factor for the per-symbol fori_loops (Mosaic
 #: rejects fori_loop's own ``unroll=``): amortizes the loop carry/branch
 #: overhead — measured on v5e decode: 830 (U=1) → 880 (U=2) → 910 (U=4)
@@ -173,12 +177,36 @@ def _decode_kernel(v_seg, s_seg, w_rows,
     heads = headc_ref[:, :]  # (16,128) f32 cum heads, lanes replicated
 
     slot0 = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    # count == 0 marks an ELIDED all-zero segment (ops/rans_word.py):
+    # its symbols are zeros and no stream words exist.  A fully-elided
+    # slot skips the serial chains; inside an active slot an elided
+    # segment's chain runs on clamped window reads (garbage, in-bounds)
+    # and its output rows are zeroed afterwards.
+    cnts = [counts_ref[0, slot0 * v_seg + v] for v in range(v_seg)]
+    slot_active = cnts[0] > 0
+    for v in range(1, v_seg):
+        slot_active = jnp.logical_or(slot_active, cnts[v] > 0)
+
+    @pl.when(jnp.logical_not(slot_active))
+    def _zero_slot():
+        sym_ref[:, :] = jnp.zeros(sym_ref.shape, sym_ref.dtype)
+
+    @pl.when(slot_active)
+    def _decode_slot():
+        _decode_slot_body(v_seg, s_seg, w_rows, cnts, counts_ref,
+                          stream_ref, cumt_hi_ref, cumt_lo_ref, headc_ref,
+                          sym_ref, iota16_0, win, lane_iota, ltT, heads)
+
+
+def _decode_slot_body(v_seg, s_seg, w_rows, cnts, counts_ref, stream_ref,
+                      cumt_hi_ref, cumt_lo_ref, headc_ref, sym_ref,
+                      iota16_0, win, lane_iota, ltT, heads):
     states = []
     curs = []
     ones = lane_iota >= 0
     for v in range(v_seg):
-        cnt = counts_ref[0, slot0 * v_seg + v]
-        c0 = cnt - 2 * NG
+        cnt = cnts[v]
+        c0 = jnp.maximum(cnt - 2 * NG, 0)
         hi = _win_read(stream_ref, win, v * w_rows, c0, lane_iota, ones)
         lo = _win_read(stream_ref, win, v * w_rows, c0 + NG,
                        lane_iota, ones)
@@ -220,7 +248,11 @@ def _decode_kernel(v_seg, s_seg, w_rows,
             need.astype(jnp.bfloat16), ltT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)                                        # (1,128)
-        w = _win_read(stream_ref, win, v * w_rows, cur - k, rank, need)
+        # base clamp: a no-op for valid streams (the cursor never
+        # underflows 0), keeps an elided segment's garbage chain inside
+        # an otherwise-active slot reading in-bounds
+        w = _win_read(stream_ref, win, v * w_rows,
+                      jnp.maximum(cur - k, 0), rank, need)
         x = jnp.where(
             need, (x << 16) | w.astype(jnp.int32).astype(jnp.uint32), x)
         return x, cur - k
@@ -237,6 +269,14 @@ def _decode_kernel(v_seg, s_seg, w_rows,
 
     jax.lax.fori_loop(0, s_seg // _UNROLL, body_u,
                       (tuple(states), tuple(curs)))
+
+    # elided segments decode to all zeros regardless of the garbage
+    # their interleaved chain produced
+    for v in range(v_seg):
+        @pl.when(cnts[v] == 0)
+        def _zero_seg(v=v):
+            sym_ref[pl.ds(v * s_seg, s_seg), :] = jnp.zeros(
+                (s_seg, NG), sym_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("s_seg", "v_seg", "interpret"))
@@ -363,6 +403,21 @@ def _encode_kernel(v_seg, s_seg, w_rows,
     iota16_0, win, lane_iota, ltT = _iotas()
 
     stream_ref[:, :] = jnp.zeros(stream_ref.shape, stream_ref.dtype)
+    counts_ref[:, :] = jnp.zeros(counts_ref.shape, jnp.int32)
+
+    # all-zero segments are ELIDED (wire count 0; ops/rans_word.py
+    # encode_channel_words) — and a fully-elided slot skips its serial
+    # chains outright.  Empty chroma planes / flat regions then cost
+    # ~nothing instead of s_seg coding steps per segment (measured: the
+    # north-star content's Co/Cg planes are entirely zero, 37M of its
+    # 96M coded symbols).  The occupancy scan is ~0.6% of chain cost.
+    has = [
+        jnp.any(sym_ref[pl.ds(v * s_seg, s_seg), :] != 0)
+        for v in range(v_seg)
+    ]
+    slot_active = has[0]
+    for v in range(1, v_seg):
+        slot_active = jnp.logical_or(slot_active, has[v])
 
     def one(v, i, x, cur, w0):
         row = sym_ref[pl.ds(v * s_seg + (s_seg - 1 - i), 1), :]  # LIFO rows
@@ -407,31 +462,36 @@ def _encode_kernel(v_seg, s_seg, w_rows,
             carry = body(i * _UNROLL + u, carry)
         return carry
 
-    x0 = tuple(jnp.full((1, NG), WORD_L, jnp.uint32) for _ in range(v_seg))
-    c0 = tuple(jnp.int32(0) for _ in range(v_seg))
-    wz = tuple(jnp.zeros((1, NG), jnp.int32) for _ in range(v_seg))
-    xs, curs, w0s = jax.lax.fori_loop(
-        0, s_seg // _UNROLL, body_u, (x0, c0, wz))
+    @pl.when(slot_active)
+    def _encode_slot():
+        x0 = tuple(jnp.full((1, NG), WORD_L, jnp.uint32)
+                   for _ in range(v_seg))
+        c0 = tuple(jnp.int32(0) for _ in range(v_seg))
+        wz = tuple(jnp.zeros((1, NG), jnp.int32) for _ in range(v_seg))
+        xs, curs, w0s = jax.lax.fori_loop(
+            0, s_seg // _UNROLL, body_u, (x0, c0, wz))
 
-    # per-segment state flush: hi row then lo row, lane-ascending (two
-    # full-row appends — each crosses exactly one row boundary, so the
-    # stored ``full`` row is final and ``wrap`` becomes the new active
-    # row); counts broadcast into (8,128) sub-blocks (per-slot scalar
-    # outputs violate the TPU tiling rules; callers read element [v·8, 0]).
-    ones = lane_iota >= 0
-    for v in range(v_seg):
-        x, cur, w0 = xs[v], curs[v], w0s[v]
-        for words in ((x >> 16).astype(jnp.int32),
-                      (x & jnp.uint32(0xFFFF)).astype(jnp.int32)):
-            full, wrap, _ = _reg_append(win, cur, lane_iota, words, ones,
-                                        w0)
-            stream_ref[pl.ds(v * w_rows + (cur >> 7), 1), :] = full
-            w0 = wrap
-            cur = cur + NG
-        stream_ref[pl.ds(v * w_rows + (cur >> 7), 1), :] = w0
-        counts_ref[v * 8 : (v + 1) * 8, :] = jnp.full(
-            (8, 128), cur, jnp.int32
-        )
+        # per-segment state flush: hi row then lo row, lane-ascending (two
+        # full-row appends — each crosses exactly one row boundary, so the
+        # stored ``full`` row is final and ``wrap`` becomes the new active
+        # row); counts broadcast into (8,128) sub-blocks (per-slot scalar
+        # outputs violate the TPU tiling rules; callers read element
+        # [v·8, 0]).  Elided segments keep count 0 (their chain ran as
+        # part of the active slot; count 0 discards its bytes).
+        ones = lane_iota >= 0
+        for v in range(v_seg):
+            x, cur, w0 = xs[v], curs[v], w0s[v]
+            for words in ((x >> 16).astype(jnp.int32),
+                          (x & jnp.uint32(0xFFFF)).astype(jnp.int32)):
+                full, wrap, _ = _reg_append(win, cur, lane_iota, words,
+                                            ones, w0)
+                stream_ref[pl.ds(v * w_rows + (cur >> 7), 1), :] = full
+                w0 = wrap
+                cur = cur + NG
+            stream_ref[pl.ds(v * w_rows + (cur >> 7), 1), :] = w0
+            counts_ref[v * 8 : (v + 1) * 8, :] = jnp.where(
+                has[v], jnp.full((8, 128), cur, jnp.int32), 0
+            )
 
 
 @partial(jax.jit, static_argnames=("v_seg", "interpret"))
@@ -463,6 +523,12 @@ def encode_words_pallas(
             f"segments per table ({seg_per_table}) must be a multiple of "
             f"v_seg ({v_seg})"
         )
+    # The encode chain is lighter than decode's, so its V-batching knee
+    # sits higher (v5e: 783 Msym/s at v_seg=8 → 816 at 16, benches/
+    # knobs.py); the stream bytes are identical for every v_seg, so the
+    # execution batching upgrades itself whenever the grid allows.
+    while v_seg < _ENC_V_SEG_MAX and seg_per_table % (2 * v_seg) == 0:
+        v_seg *= 2
     slots_per_table = seg_per_table // v_seg
 
     # transposed block tables T[j,k] = v[16k+j], hi/lo split (see _tdot16),

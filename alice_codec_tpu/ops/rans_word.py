@@ -179,6 +179,13 @@ def encode_channel_words(
     counts = np.empty(segs.shape[0], np.uint32)
     parts = []
     for s in range(segs.shape[0]):
+        if not segs[s].any():
+            # all-zero segment ELIDED: count 0, zero payload words.  The
+            # decoder emits s_seg·ng zero symbols without touching the
+            # rANS state machine — skipping the serial chain entirely
+            # (empty chroma planes and flat regions are the common case).
+            counts[s] = 0
+            continue
         stream = encode_segment_words(segs[s], freqs, cums)
         counts[s] = stream.shape[0]
         parts.append(stream)
@@ -209,6 +216,9 @@ def decode_channel_words(
     off = 0
     for s in range(n_segments):
         count = int(word_counts[s])
+        if count == 0:  # elided all-zero segment (see encode_channel_words)
+            out[s] = 0
+            continue
         syms, cursor = decode_segment_words(
             data[off : off + count], count, s_seg, ng, freqs, cums, cum_to_sym
         )

@@ -57,24 +57,27 @@ _CHANNEL_HEADER_BYTES = 1040
 # ── Device programs ─────────────────────────────────────────────
 
 
+def _color_pad(rgb, padded):
+    """color → edge-pad: uint8 (T,H,W,3) → int32 (3, pT, pH, pW)."""
+    pw, ph, pf = padded
+    t, h, w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
+    y, co, cg = color.rgb_to_ycocg_r(rgb)           # (T,H,W) i16 each
+    chans = jnp.stack([y, co, cg]).astype(jnp.int32)  # (3,T,H,W)
+    # Edge-replicating pad to even dims (reference src/pipeline.rs:77-114).
+    return jnp.pad(
+        chans,
+        ((0, 0), (0, pf - t), (0, ph - h), (0, pw - w)),
+        mode="edge",
+    )
+
+
 def _transform(rgb, wavelet_type, padded, levels=1, interleaved=False):
     """color → edge-pad → forward 3D wavelet: uint8 (T,H,W,3) → int32
     coefficients (3, pT, pH, pW) (shared by the fixed-step and RDO
     encode programs).  ``levels`` > 1 runs the dyadic multi-level
     decomposition (SURVEY §5.7 extension); ``padded`` must then be
     divisible by 2**levels (core.padded_dims_levels)."""
-    pw, ph, pf = padded
-    t, h, w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
-
-    y, co, cg = color.rgb_to_ycocg_r(rgb)           # (T,H,W) i16 each
-    chans = jnp.stack([y, co, cg]).astype(jnp.int32)  # (3,T,H,W)
-
-    # Edge-replicating pad to even dims (reference src/pipeline.rs:77-114).
-    chans = jnp.pad(
-        chans,
-        ((0, 0), (0, pf - t), (0, ph - h), (0, pw - w)),
-        mode="edge",
-    )
+    chans = _color_pad(rgb, padded)
     if interleaved:
         # ALC3 fast path: in-place interleaved layout — no [low|high]
         # relayouts (see wavelet.forward_3d_inter).  Level 0 (>87% of
@@ -154,6 +157,29 @@ def _symbolize(qcoeffs, padded, hist_stride: int = 1):
     return symbols, hists
 
 
+def _transform_symbols(rgb, step, dead_zone, *, wavelet_type, padded,
+                       levels=1, interleaved=False):
+    """Fixed-step transform → quantize → zigzag: uint8 (T,H,W,3) →
+    uint8 symbols (3, P).  On the interleaved single-level path the
+    quantize/zigzag runs inside the temporal lift kernel's output pass
+    (lift_kernels.forward_quant_pallas) — no separate XLA pass over the
+    i32 coefficient volume."""
+    from .ops.pallas.lift_kernels import forward_quant_pallas, lift3d_ok
+
+    pw, ph, pf = padded
+    if interleaved and levels == 1 and lift3d_ok((3, pf, ph, pw)):
+        chans = _color_pad(rgb, padded)
+        s3 = jnp.broadcast_to(
+            jnp.asarray(step, jnp.int32).reshape(-1), (3,))
+        d3 = jnp.broadcast_to(
+            jnp.asarray(dead_zone, jnp.int32).reshape(-1), (3,))
+        sym = forward_quant_pallas(chans, wavelet_type, s3, d3)
+        return sym.reshape(3, pf * ph * pw)
+    coeffs = _transform(rgb, wavelet_type, padded, levels, interleaved)
+    qcoeffs = quant.quantize(coeffs, step, dead_zone)
+    return quant.to_symbols(qcoeffs).reshape(3, pf * ph * pw)
+
+
 @partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels",
                                    "hist_stride", "interleaved"))
 def encode_device(
@@ -173,9 +199,12 @@ def encode_device(
     symbols uint8 ``(3, pT*pH*pW)`` (channel order Y, Co, Cg, frame-major
     like the reference) and histograms uint32 ``(3, 256)``.
     """
-    coeffs = _transform(rgb, wavelet_type, padded, levels, interleaved)
-    qcoeffs = quant.quantize(coeffs, step, dead_zone)
-    return _symbolize(qcoeffs, padded, hist_stride)
+    symbols = _transform_symbols(
+        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
+        levels=levels, interleaved=interleaved)
+    hists = jax.vmap(quant.build_histogram)(
+        _hist_sample(symbols, hist_stride))
+    return symbols, hists
 
 
 @partial(jax.jit, static_argnames=("wavelet_type", "padded", "interleaved"))
@@ -243,12 +272,22 @@ def decode_device(
     default replays the reference's negated-coefficient inverse for
     bit-identical output.
     """
+    from .ops.pallas.lift_kernels import inverse_dequant_pallas, lift3d_ok
+
     w, h, t = dims
     pw, ph, pf = padded
-    qcoeffs = quant.from_symbols(symbols).reshape(3, pf, ph, pw)
-    coeffs = qcoeffs * step.astype(jnp.int32).reshape(3, 1, 1, 1)
     del dead_zone  # stored in headers but unused by dequantization
-    volume = _inverse_3d(coeffs, wavelet_type, levels, exact, interleaved)
+    if interleaved and levels == 1 and lift3d_ok((3, pf, ph, pw)):
+        # un-zigzag + dequantize run inside the temporal inverse
+        # kernel's input pass — no XLA pass over the i32 volume
+        volume = inverse_dequant_pallas(
+            symbols.reshape(3, pf, ph, pw), wavelet_type,
+            step.astype(jnp.int32).reshape(-1), exact=exact)
+    else:
+        qcoeffs = quant.from_symbols(symbols).reshape(3, pf, ph, pw)
+        coeffs = qcoeffs * step.astype(jnp.int32).reshape(3, 1, 1, 1)
+        volume = _inverse_3d(coeffs, wavelet_type, levels, exact,
+                             interleaved)
     # i32 → i16 truncating cast, strip padding (src/pipeline.rs:602-611).
     chans = volume[:, :t, :h, :w].astype(jnp.int16)
     return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
@@ -379,9 +418,9 @@ def encode_sparse_phase1(
 
     pw, ph, pf = padded
     p = pf * ph * pw
-    coeffs = _transform(rgb, wavelet_type, padded, levels, interleaved)
-    qcoeffs = quant.quantize(coeffs, step, dead_zone)
-    symbols = quant.to_symbols(qcoeffs).reshape(3, p)
+    symbols = _transform_symbols(
+        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
+        levels=levels, interleaved=interleaved)
     if pp != p:
         symbols = jnp.pad(symbols, ((0, 0), (0, pp - p)))
     return symbols, block_value_rows(symbols)

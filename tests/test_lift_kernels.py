@@ -49,6 +49,39 @@ def test_exact_roundtrip(wt):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+@pytest.mark.parametrize("wt", WAVELETS)
+def test_forward_quant_fused_matches_unfused(wt):
+    from alice_codec_tpu.ops import quant
+    from alice_codec_tpu.ops.pallas.lift_kernels import forward_quant_pallas
+
+    x = _vol((3, 4, 6, 128), 3)
+    step = jnp.asarray([3, 5, 7], jnp.int32)
+    dz = jnp.asarray([3, 5, 7], jnp.int32)
+    coeffs = forward_3d_pallas(x, wt)
+    want = quant.to_symbols(
+        quant.quantize(coeffs, step.reshape(3, 1, 1, 1),
+                       dz.reshape(3, 1, 1, 1)))
+    got = forward_quant_pallas(x, wt, step, dz)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_inverse_dequant_fused_matches_unfused(exact):
+    from alice_codec_tpu.ops import quant
+    from alice_codec_tpu.ops.pallas.lift_kernels import (
+        forward_quant_pallas, inverse_dequant_pallas)
+
+    wt = WaveletType.CDF53
+    x = _vol((3, 4, 6, 128), 4)
+    step = jnp.asarray([2, 4, 6], jnp.int32)
+    sym = forward_quant_pallas(x, wt, step, step)
+    coeffs = quant.from_symbols(sym).astype(jnp.int32) * step.reshape(
+        3, 1, 1, 1)
+    want = inverse_3d_pallas(coeffs, wt, exact=exact)
+    got = inverse_dequant_pallas(sym, wt, step, exact=exact)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_lift3d_ok_gate():
     assert lift3d_ok((3, 64, 1080, 1920))
     assert not lift3d_ok((3, 64, 1080, 1921))  # odd W

@@ -39,12 +39,15 @@ def _content(kind: str, n: int, seed: int = 0) -> np.ndarray:
 
 
 def _spec_streams(segs: np.ndarray, table: FrequencyTable):
-    """Segments (S, s_seg, NG) → padded stream array + counts via the spec."""
+    """Segments (S, s_seg, NG) → padded stream array + counts via the spec
+    (all-zero segments ELIDED with count 0, like encode_channel_words)."""
     s_seg = segs.shape[1]
     w_rows = stream_rows(s_seg)
     streams = np.zeros((segs.shape[0], w_rows * 128), np.int32)
     counts = np.zeros(segs.shape[0], np.int32)
     for i in range(segs.shape[0]):
+        if not segs[i].any():
+            continue
         words = encode_segment_words(segs[i], table.freqs, table.cums)
         counts[i] = words.shape[0]
         streams[i, : words.shape[0]] = words
@@ -84,6 +87,38 @@ def test_decode_kernel_matches_spec(kind, v_seg):
         t.freqs.astype(np.int32)[None], t.cums.astype(np.int32)[None],
         s_seg=s_seg, v_seg=v_seg,
     )
+    np.testing.assert_array_equal(np.asarray(out), syms.astype(np.int32))
+
+
+@pytest.mark.parametrize("v_seg", [1, 2, 4])
+def test_zero_segment_elision_mixed_slots(v_seg):
+    """All-zero segments get count 0 (elided) even when they share a
+    V-batched slot with active segments; decode returns exact zeros for
+    them and the spec's wire words for the active ones."""
+    s_seg, n_seg = 16, 4
+    live = _content("skewed", s_seg * NG, seed=5).reshape(s_seg, NG)
+    syms = np.zeros((n_seg, s_seg, NG), np.uint8)
+    syms[1] = live
+    syms[3] = live
+    t = _table(syms)
+    freqs = t.freqs.astype(np.int32)[None]
+    cums = t.cums.astype(np.int32)[None]
+
+    streams, counts = encode_words_pallas(
+        syms.astype(np.int32), freqs, cums, v_seg=v_seg)
+    counts = np.asarray(counts)
+    assert counts[0] == 0 and counts[2] == 0
+    ref_streams, ref_counts = _spec_streams(syms, t)
+    np.testing.assert_array_equal(counts, ref_counts)
+    # wire bytes = the first counts[i] words of each stream (to_bytes
+    # slicing); elided rows carry none
+    for i in range(n_seg):
+        np.testing.assert_array_equal(
+            np.asarray(streams).reshape(n_seg, -1)[i, : counts[i]],
+            ref_streams.reshape(n_seg, -1)[i, : counts[i]],
+        )
+    out = decode_words_pallas(
+        streams, counts, freqs, cums, s_seg=s_seg, v_seg=v_seg)
     np.testing.assert_array_equal(np.asarray(out), syms.astype(np.int32))
 
 

@@ -84,6 +84,62 @@ for name, n_tables, mk in [
     if not np.array_equal(np.asarray(dec).astype(np.uint8), sym):
         failures.append(f"rans decode {name}")
 
+# ── zero-segment elision (count 0 on the wire, zeros on decode) ──
+sym = np.where(rng.random(4 * s_seg * NG) < 0.8, 0,
+               rng.integers(1, 256, 4 * s_seg * NG)).astype(np.uint8)
+sym = sym.reshape(4, s_seg, NG)
+sym[0] = 0
+sym[2] = 0
+hist = np.bincount(sym.reshape(-1), minlength=256).astype(np.uint32)
+ft = FrequencyTable.from_histogram(hist, sanitize=True)
+f1, c1 = jnp.asarray(ft.freqs[None].astype(np.int64)), jnp.asarray(
+    ft.cums[None].astype(np.int64))
+streams, counts = encode_words_pallas(
+    jnp.asarray(sym.astype(np.int32)), f1, c1, v_seg=2)
+counts_np = np.asarray(counts)
+if not (counts_np[0] == 0 and counts_np[2] == 0 and counts_np[1] > 0):
+    failures.append("elision counts")
+dec = decode_words_pallas(streams, counts, f1, c1, s_seg=s_seg, v_seg=2)
+if not np.array_equal(np.asarray(dec).astype(np.uint8), sym):
+    failures.append("elision decode")
+
+# ── fused 3D lifting kernels vs the XLA interleaved transform ────
+from alice_codec_tpu.core import WaveletType
+from alice_codec_tpu.ops import quant, wavelet
+from alice_codec_tpu.ops.pallas.lift_kernels import (
+    forward_3d_pallas, forward_quant_pallas, inverse_3d_pallas,
+    inverse_dequant_pallas)
+
+vol = jnp.asarray(rng.integers(-4000, 4000, (3, 8, 16, 256), np.int32))
+for wt in (WaveletType.HAAR, WaveletType.CDF53, WaveletType.CDF97):
+    want = np.stack([
+        np.asarray(wavelet.forward_3d_inter(c, wt)) for c in vol])
+    got = np.asarray(forward_3d_pallas(vol, wt))
+    if not np.array_equal(got, want):
+        failures.append(f"lift fwd {wt}")
+    for exact in (False, True):
+        wanti = np.stack([
+            np.asarray(wavelet.inverse_3d_inter(c, wt, exact=exact))
+            for c in jnp.asarray(want)])
+        goti = np.asarray(inverse_3d_pallas(jnp.asarray(want), wt,
+                                            exact=exact))
+        if not np.array_equal(goti, wanti):
+            failures.append(f"lift inv {wt} exact={exact}")
+step3 = jnp.asarray([3, 5, 7], jnp.int32)
+wq = np.asarray(quant.to_symbols(quant.quantize(
+    forward_3d_pallas(vol, WaveletType.CDF53),
+    step3.reshape(3, 1, 1, 1), step3.reshape(3, 1, 1, 1))))
+gq = np.asarray(forward_quant_pallas(vol, WaveletType.CDF53, step3, step3))
+if not np.array_equal(gq, wq):
+    failures.append("lift fwd+quant fused")
+wd = np.asarray(inverse_3d_pallas(
+    quant.from_symbols(jnp.asarray(wq)).astype(jnp.int32)
+    * step3.reshape(3, 1, 1, 1), WaveletType.CDF53))
+gd = np.asarray(inverse_dequant_pallas(
+    jnp.asarray(wq), WaveletType.CDF53, step3))
+if not np.array_equal(gd, wd):
+    failures.append("lift dequant+inv fused")
+
 # ── sparse compact/expand: several densities ─────────────────────
 br = 512
 p = 4 * br * 128  # 4 blocks/channel: exercises the default v_blk=4 interleave
