@@ -968,10 +968,12 @@ class Alc3Codec:
         sparse with a mesh — the capacity fetch is host-side) encode
         per chunk.
         """
-        if self.rdo or self.deep or (self.sparse and mesh is not None):
+        if self.rdo or self.deep:
             return [self.encode(rgb_batch[i])
                     for i in range(rgb_batch.shape[0])]
         if self.sparse:
+            if mesh is not None:
+                return self._encode_batch_sparse_mesh(rgb_batch, mesh)
             return self._encode_batch_sparse(rgb_batch)
         if not isinstance(rgb_batch, jax.Array):
             rgb_batch = np.asarray(rgb_batch, np.uint8)
@@ -1054,11 +1056,143 @@ class Alc3Codec:
             ))
         return chunks
 
+    def _encode_batch_sparse_mesh(self, rgb_batch, mesh) -> list[DeviceChunk]:
+        """Sparse encode_batch over an ICI mesh: phase 1 shard_maps the
+        chunk axis; the host fetches only the (B·3)-int row counts and
+        picks ONE per-channel capacity bucket (the batch max) so every
+        shard traces the same phase-2 program; phase 2 shard_maps over
+        the already-sharded symbol planes.  Uniform capacities also make
+        the chunks mesh-decodable (:meth:`decode_batch`)."""
+        from jax.sharding import PartitionSpec as P
+
+        if not isinstance(rgb_batch, jax.Array):
+            rgb_batch = np.asarray(rgb_batch, np.uint8)
+        if rgb_batch.ndim != 5 or rgb_batch.shape[-1] != 3:
+            raise InvalidBufferSize(5, rgb_batch.ndim)
+        b, t, h, w, _ = rgb_batch.shape
+        axis = mesh.axis_names[0]
+        nd = int(np.prod(mesh.devices.shape))
+        if b % nd:  # uneven shard → plain per-chunk encode
+            return [self.encode(rgb_batch[i]) for i in range(b)]
+        bl = b // nd
+        padded = padded_dims_levels(w, h, t, self.levels)
+        p = int(np.prod(padded))
+        pp = _sparse_pp(p)
+        step = jnp.int32(self.step)
+
+        def f1(rb):
+            return _sparse_phase1_batch(
+                rb, step, step, wavelet_type=self.wavelet_type,
+                padded=padded, pp=pp, levels=self.levels)
+
+        symbols, ch_rows = jax.jit(jax.shard_map(
+            f1, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(axis), P(axis)), check_vma=False,
+        ))(jnp.asarray(rgb_batch))
+        rows = np.asarray(ch_rows).reshape(b, 3)  # tiny fetch
+        max_nv = _segment_geometry(pp, self.s_seg)[0]
+        krs3 = tuple(
+            _bucket_nv(int(rows[:, c].max()), self.s_seg, max_nv)
+            * self.s_seg
+            for c in range(3)
+        )
+        nb, _ = _segment_geometry(pp // 8, self.s_seg)
+        krs_local = krs3 * bl
+
+        def f2(sym, chr_):
+            return _encode_chunk_sparse(
+                sym, chr_, pp=pp, s_seg=self.s_seg, krs=krs_local,
+                v_b=_pick_v_seg(nb))
+
+        streams, counts, hists = jax.jit(jax.shard_map(
+            f2, mesh=mesh, in_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)), check_vma=False,
+        ))(symbols, ch_rows)
+
+        # shard-major result layout: per shard [3·bl bitmap groups]
+        # [bl×3 value planes]; hists per shard [3·bl bitmap][3·bl value]
+        nvs = [k // self.s_seg for k in krs3]
+        shard_rows = 3 * bl * nb + bl * sum(nvs)
+        chunks = []
+        for i in range(b):
+            s, j = divmod(i, bl)
+            base = s * shard_rows
+            bm = slice(base + 3 * j * nb, base + 3 * (j + 1) * nb)
+            v0 = base + 3 * bl * nb + j * sum(nvs)
+            v1 = v0 + sum(nvs)
+            hs = s * 6 * bl
+            chunks.append(DeviceChunk(
+                w, h, t, self.wavelet_type, self.step, self.s_seg,
+                jnp.concatenate([streams[bm], streams[v0:v1]], axis=0),
+                jnp.concatenate([counts[bm], counts[v0:v1]], axis=0),
+                jnp.concatenate(
+                    [hists[hs + 3 * j : hs + 3 * j + 3],
+                     hists[hs + 3 * bl + 3 * j : hs + 3 * bl + 3 * j + 3]],
+                    axis=0),
+                levels=self.levels, sparse=True,
+                kcaps=tuple(k * NG for k in krs3),
+            ))
+        return chunks
+
+    def _decode_batch_sparse_mesh(self, chunks, mesh, exact):
+        """Sparse decode_batch over an ICI mesh (uniform-geometry,
+        uniform-capacity chunks — what :meth:`_encode_batch_sparse_mesh`
+        produces)."""
+        from jax.sharding import PartitionSpec as P
+
+        c0 = chunks[0]
+        b = len(chunks)
+        w, h, t = c0.width, c0.height, c0.frames
+        padded = padded_dims_levels(w, h, t, c0.levels)
+        pp = _sparse_pp(int(np.prod(padded)))
+        nb, _ = _segment_geometry(pp // 8, c0.s_seg)
+        nvs = [k // NG // c0.s_seg for k in c0.kcaps]
+        bl = b // int(np.prod(mesh.devices.shape))
+        axis = mesh.axis_names[0]
+        streams = jnp.stack([c.streams for c in chunks])   # (B, rows, …)
+        counts = jnp.stack([c.counts for c in chunks])
+        hists = jnp.stack([c.hists for c in chunks])       # (B, 6, 256)
+        steps = jnp.asarray([[c.quant_step] * 3 for c in chunks], jnp.int32)
+        kcaps_local = c0.kcaps * bl
+        s_seg, wt, levels = c0.s_seg, c0.wavelet_type, c0.levels
+
+        def fn(st, cn, hi, sp):
+            # per-shard reorganize to _decode_batch_sparse's layout:
+            # [all bitmap groups, chunk-major][all value planes]
+            sflat = jnp.concatenate([
+                st[:, : 3 * nb].reshape((-1,) + st.shape[2:]),
+                st[:, 3 * nb :].reshape((-1,) + st.shape[2:]),
+            ])
+            cflat = jnp.concatenate(
+                [cn[:, : 3 * nb].reshape(-1), cn[:, 3 * nb :].reshape(-1)])
+            return _decode_batch_sparse(
+                sflat, cflat, hi, sp, wavelet_type=wt, dims=(w, h, t),
+                padded=padded, s_seg=s_seg, kcaps=kcaps_local,
+                v_b=_pick_v_seg(nb), exact=exact, levels=levels,
+            )
+
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False,
+        ))(streams, counts, hists, steps)
+
     def decode_batch(self, chunks: list[DeviceChunk], *, exact: bool = False,
                      mesh=None):
         """Decode same-shape fixed-step chunks in one dispatch → (B, T, H,
         W, 3) uint8 jax.Array (see :meth:`encode_batch` for ``mesh``)."""
         c0 = chunks[0]
+        if mesh is not None and len(chunks) % int(
+                np.prod(mesh.devices.shape)) == 0 and all(
+            c.sparse and not c.deep and c.band_steps is None
+            and c.kcaps == c0.kcaps
+            and (c.width, c.height, c.frames, c.s_seg, c.levels,
+                 c.wavelet_type)
+            == (c0.width, c0.height, c0.frames, c0.s_seg, c0.levels,
+                c0.wavelet_type)
+            for c in chunks
+        ):
+            return self._decode_batch_sparse_mesh(chunks, mesh, exact)
         batchable_sparse = (
             mesh is None
             and all(

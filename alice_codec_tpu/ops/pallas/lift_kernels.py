@@ -48,10 +48,11 @@ from .rans3_kernels import _compiler_params
 
 __all__ = ["lift3d_ok", "forward_3d_pallas", "inverse_3d_pallas"]
 
-#: VMEM budget for one grid slot's in+out blocks (double-buffered by the
-#: pipeline ⇒ ×2), kept under the 96 MB Mosaic grant with headroom for
-#: the lift temporaries.
-_SLOT_BYTES = 40 * 1024 * 1024
+#: Max bytes for one i32 working tile.  Empirical: Mosaic keeps ~11
+#: tile-sized values live through a 2-step lift chain (rolls, masks,
+#: deltas — measured 215 MB at a 19.6 MB tile on v5e, which exceeds the
+#: 128 MB physical VMEM), so 8 MB tiles bound the kernel at ~90 MB.
+_TILE_BYTES = 8 * 1024 * 1024
 
 
 def _roll(x, shift: int, axis: int):
@@ -148,24 +149,28 @@ def _temporal_dequant_kernel(steps, x_ref, q_ref, o_ref):
 
 
 def _pick_hb(t: int, h: int, w: int) -> int:
-    """Largest divisor of H whose (T, Hb, W) in+out slabs fit the slot
-    budget (any divisor works — the T lift has no H dependency)."""
-    cap = max(1, _SLOT_BYTES // (t * w * 4 * 2))
+    """Largest divisor of H whose (T, Hb, W) i32 slab fits the tile
+    budget (any divisor works — the T lift has no H dependency).  Mosaic
+    requires the block's sublane dim divisible by 8 unless it spans the
+    whole axis, so Hb must be 8-aligned (or == H)."""
+    cap = max(1, _TILE_BYTES // (t * w * 4))
+    if h <= cap:
+        return h
     hb = 0
-    for d in range(1, h + 1):
-        if h % d == 0 and d <= cap:
+    for d in range(8, min(h, cap) + 1, 8):
+        if h % d == 0:
             hb = d
     return hb
 
 
 def lift3d_ok(shape: tuple[int, ...]) -> bool:
     """True when the fused kernels handle a (..., T, H, W) volume: the
-    spatial (H, W) frame pair and some (T, Hb, W) slab must fit VMEM,
-    and every axis must be even (level-0 in-place lifting)."""
+    spatial (H, W) frame and some (T, Hb, W) slab must fit the tile
+    budget, and every axis must be even (level-0 in-place lifting)."""
     t, h, w = shape[-3], shape[-2], shape[-1]
     if t % 2 or h % 2 or w % 2:
         return False
-    if h * w * 4 * 2 > _SLOT_BYTES:
+    if h * w * 4 > _TILE_BYTES + _TILE_BYTES // 8:  # 1080p (8.3 MB) fits
         return False
     return _pick_hb(t, h, w) >= 1
 

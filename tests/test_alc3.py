@@ -290,6 +290,30 @@ def test_sharded_batch_bitstreams_identical():
     np.testing.assert_array_equal(out_plain, out_sharded)
 
 
+def test_sparse_mesh_roundtrip():
+    """Sparse encode/decode over the 8-device CPU mesh: decodes match
+    the per-chunk path and the container survives serialization (the
+    mesh encoder pins ONE per-channel capacity bucket batch-wide)."""
+    from alice_codec_tpu.parallel.mesh import chunk_mesh
+
+    mesh = chunk_mesh(8)
+    rgbs = np.stack([_video(2, 8, 8, seed=40 + i) for i in range(8)])
+    codec = Alc3Codec(quality=80, s_seg=8, sparse=True)
+    chunks = codec.encode_batch(rgbs, mesh=mesh)
+    assert len(chunks) == 8 and all(c.sparse for c in chunks)
+    assert all(c.kcaps == chunks[0].kcaps for c in chunks)
+    out_mesh = np.asarray(codec.decode_batch(chunks, mesh=mesh))
+    for i in range(8):
+        np.testing.assert_array_equal(
+            out_mesh[i], codec.decode(chunks[i], as_numpy=True))
+    # container roundtrip of a mesh-encoded chunk
+    blob = Alc3Codec.to_bytes(chunks[:2])
+    codec2, back = Alc3Codec.from_bytes(blob)
+    np.testing.assert_array_equal(
+        codec2.decode(back[0], as_numpy=True),
+        codec.decode(chunks[0], as_numpy=True))
+
+
 # ── AnalyticalRDO device path (BASELINE config 2) ───────────────
 
 
