@@ -131,50 +131,49 @@ def _tdot16(t_hi_ref, t_lo_ref, oh):
     )
 
 
-def _win_read(stream_ref, win, row_base, base, pos, mask):
-    """Read per-lane words from a 2-row window of one segment's stream.
+def _gather2d(block8, row, lane):
+    """out[l] = block8[row_l, lane_l]: TWO Mosaic dynamic-gathers at the
+    native (8,128) vreg granularity — first along lanes, then along
+    sublanes (both verified bit-exact on v5e).  This replaced the
+    original lane-roll + (128,128) one-hot + bf16 MXU dot scheme (~35
+    vector ops per lookup) with ~4, all int32 end-to-end.  ``block8``:
+    (8,128) int32; ``row``/``lane``: (1,128) int32."""
+    g = jnp.take_along_axis(
+        block8, jnp.broadcast_to(lane, (8, NG)), axis=1)
+    return jnp.take_along_axis(
+        g, jnp.broadcast_to(row, (8, NG)), axis=0)[0:1, :]
+
+
+def _win_read(stream_ref, row_base, n_rows, base, pos, mask):
+    """Read per-lane words from a window of one segment's stream.
 
     ``row_base``: static first row of the segment inside the block;
+    ``n_rows``: static rows the segment owns from ``row_base``;
     ``base``: scalar word offset of the window start within the segment;
     ``pos``: (1,128) int32 word offsets relative to ``base`` (0 ≤ pos <
     128 + free lanes where ``mask`` holds; other lanes return 0).
-    Returns (1,128) f32 word values.
+    Returns (1,128) int32 word values.
 
-    Implementation: rotate the 2-row window left by ``base & 127`` with
-    dynamic lane-rolls so the wanted span starts at lane 0, then ONE
-    (128,128) one-hot gather — half the compare volume of the previous
-    (256,128) window one-hot (iota256_0's first 128 rows serve as the
-    lane iota).
+    Reads an aligned 8-row window (clamped so the read stays inside the
+    segment's rows), then one 2-D dynamic gather picks each lane's word.
     """
-    iota128_0, lane = win
     r0 = base >> 7
-    sh = base & 127
-    rows = stream_ref[pl.ds(row_base + r0, 2), :]        # (2,128) int32
-    rot = pltpu.roll(rows, -sh, 1)                       # lane-rotate both
-    w = jnp.where(lane < NG - sh, rot[0:1, :], rot[1:2, :])
-    p = jnp.where(mask, pos, -1)
-    oh = (p == iota128_0).astype(jnp.bfloat16)           # (128,128)
-    w2 = jnp.concatenate(
-        [(w >> 8).astype(jnp.bfloat16),
-         (w & 255).astype(jnp.bfloat16)], axis=0)        # (2,128)
-    d = jax.lax.dot_general(
-        w2, oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                    # (2,128)
-    return 256.0 * d[0:1, :] + d[1:2, :]
+    start = jnp.minimum(r0, n_rows - 8)
+    rows8 = stream_ref[pl.ds(row_base + start, 8), :]    # (8,128) int32
+    q = (base & (NG - 1)) + pos                          # [0, 256)
+    out = _gather2d(rows8, (q >> 7) + (r0 - start), q & (NG - 1))
+    return jnp.where(mask, out, 0)
 
 
 # ── decode ──────────────────────────────────────────────────────
 
 
 def _decode_kernel(v_seg, s_seg, w_rows,
-                   counts_ref, stream_ref, cumt_hi_ref, cumt_lo_ref,
-                   headc_ref, sym_ref):
+                   counts_ref, stream_ref, lut_ref, fc_ref, sym_ref):
     # v_seg segments decode in one slot as INDEPENDENT dataflow chains
     # (they share no data, so the scheduler interleaves their op
     # latencies — the point of V-batching).
     iota16_0, win, lane_iota, ltT = _iotas()
-    heads = headc_ref[:, :]  # (16,128) f32 cum heads, lanes replicated
 
     slot0 = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     # count == 0 marks an ELIDED all-zero segment (ops/rans_word.py):
@@ -193,52 +192,46 @@ def _decode_kernel(v_seg, s_seg, w_rows,
 
     @pl.when(slot_active)
     def _decode_slot():
-        _decode_slot_body(v_seg, s_seg, w_rows, cnts, counts_ref,
-                          stream_ref, cumt_hi_ref, cumt_lo_ref, headc_ref,
-                          sym_ref, iota16_0, win, lane_iota, ltT, heads)
+        _decode_slot_body(v_seg, s_seg, w_rows, cnts, stream_ref,
+                          lut_ref, fc_ref, sym_ref, win, lane_iota, ltT)
 
 
-def _decode_slot_body(v_seg, s_seg, w_rows, cnts, counts_ref, stream_ref,
-                      cumt_hi_ref, cumt_lo_ref, headc_ref, sym_ref,
-                      iota16_0, win, lane_iota, ltT, heads):
+def _decode_slot_body(v_seg, s_seg, w_rows, cnts, stream_ref,
+                      lut_ref, fc_ref, sym_ref, win, lane_iota, ltT):
     states = []
     curs = []
     ones = lane_iota >= 0
     for v in range(v_seg):
         cnt = cnts[v]
         c0 = jnp.maximum(cnt - 2 * NG, 0)
-        hi = _win_read(stream_ref, win, v * w_rows, c0, lane_iota, ones)
-        lo = _win_read(stream_ref, win, v * w_rows, c0 + NG,
+        hi = _win_read(stream_ref, v * w_rows, w_rows, c0, lane_iota,
+                       ones)
+        lo = _win_read(stream_ref, v * w_rows, w_rows, c0 + NG,
                        lane_iota, ones)
-        x = hi.astype(jnp.int32).astype(jnp.uint32) << 16
-        states.append(x | lo.astype(jnp.int32).astype(jnp.uint32))
+        x = hi.astype(jnp.uint32) << 16
+        states.append(x | lo.astype(jnp.uint32))
         curs.append(c0)
 
     def one(v, j, x, cur):
         slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)  # (1,128)
-        slot_f = slot.astype(jnp.float32)
-        # two-level strictly-increasing-cums search (sanitized tables):
-        # L1 counts block heads ≤ slot, L2 counts in-block cums ≤ slot.
-        ge1 = (heads <= slot_f).astype(jnp.float32)                # (16,128)
-        hi_idx = jnp.sum(ge1, axis=0, keepdims=True).astype(jnp.int32) - 1
-        oh = (hi_idx == iota16_0).astype(jnp.bfloat16)             # (16,128)
-        cand = _tdot16(cumt_hi_ref, cumt_lo_ref, oh)               # (16,128)
-        le = cand <= slot_f
-        lo_idx = jnp.sum(le.astype(jnp.float32), axis=0,
-                         keepdims=True).astype(jnp.int32) - 1
-        # c = cand[lo_idx] = max of the ≤-masked cands (strictly increasing)
-        c_f = jnp.max(jnp.where(le, cand, 0.0), axis=0, keepdims=True)
-        # f = cum[sym+1] - cum[sym]; the next block head closes row 15 and
-        # cum[256] = PROB_SCALE closes the last block.
-        hnext = jnp.max(
-            jnp.where((hi_idx + 1) == iota16_0, heads, 0.0),
-            axis=0, keepdims=True,
-        ) + jnp.where(hi_idx == 15, float(PROB_SCALE), 0.0)
-        cand_next = jnp.concatenate([cand[1:, :], hnext], axis=0)
-        fnext = jnp.max(jnp.where(le, cand_next, 0.0), axis=0, keepdims=True)
-        f = (fnext - c_f).astype(jnp.int32).astype(jnp.uint32)
-        c = c_f.astype(jnp.int32).astype(jnp.uint32)
-        sym_ref[v * s_seg + j, :] = (hi_idx * 16 + lo_idx)[0, :]
+        # slot → symbol via the packed cum_to_sym LUT: 4096 u8 entries,
+        # 4 per i32 word on (8,128) rows — one 2-D dynamic gather + a
+        # per-lane byte extract (replaced the two-level cum search:
+        # compare/one-hot/dot/max chains, 3 MXU dots per step).
+        word = _gather2d(lut_ref[:, :], slot >> 9, (slot >> 2) & (NG - 1))
+        sym = (word >> ((slot & 3) << 3)) & 255
+        sym_ref[v * s_seg + j, :] = sym[0, :]
+        # f/c lookup from the (8,128) gather rows [f_lo|f_hi|c_lo|c_hi]
+        fcg = jnp.take_along_axis(
+            fc_ref[:, :], jnp.broadcast_to(sym & (NG - 1), (8, NG)),
+            axis=1)
+        hi = (sym >= NG).astype(jnp.int32)
+        f = jnp.take_along_axis(
+            fcg, jnp.broadcast_to(hi, (8, NG)), axis=0
+        )[0:1, :].astype(jnp.uint32)
+        c = jnp.take_along_axis(
+            fcg, jnp.broadcast_to(2 + hi, (8, NG)), axis=0
+        )[0:1, :].astype(jnp.uint32)
         x = f * (x >> PROB_BITS) + slot.astype(jnp.uint32) - c
         # ≤1 refill per lane (16-bit renorm): sequential window read, lanes
         # ranked by an exclusive prefix sum over the need flags.
@@ -251,10 +244,9 @@ def _decode_slot_body(v_seg, s_seg, w_rows, cnts, counts_ref, stream_ref,
         # base clamp: a no-op for valid streams (the cursor never
         # underflows 0), keeps an elided segment's garbage chain inside
         # an otherwise-active slot reading in-bounds
-        w = _win_read(stream_ref, win, v * w_rows,
+        w = _win_read(stream_ref, v * w_rows, w_rows,
                       jnp.maximum(cur - k, 0), rank, need)
-        x = jnp.where(
-            need, (x << 16) | w.astype(jnp.int32).astype(jnp.uint32), x)
+        x = jnp.where(need, (x << 16) | w.astype(jnp.uint32), x)
         return x, cur - k
 
     def body(j, carry):
@@ -317,16 +309,22 @@ def decode_words_pallas(
         )
     slots_per_table = seg_per_table // v_seg
 
-    del freqs  # decode derives freqs from cum deltas (f = cum[s+1]-cum[s])
     c32 = cums.astype(jnp.int32)
-    # transposed block tables T[j,k] = cum[16k+j] → lookups land lane-major
-    ct = c32.reshape(n_tables, 16, 16).transpose(0, 2, 1)
-    chi = (ct >> 8).astype(jnp.float32).reshape(n_tables * 16, 16)
-    clo = (ct & 255).astype(jnp.float32).reshape(n_tables * 16, 16)
-    # block-head cums replicated along lanes: (n_tables·16, 128)
-    heads = jnp.broadcast_to(
-        c32[:, ::16].astype(jnp.float32)[:, :, None], (n_tables, 16, NG)
-    ).reshape(n_tables * 16, NG)
+    # packed cum_to_sym LUT: lut[slot] = #(cums ≤ slot) − 1, 4 u8 syms
+    # per i32 word → (n_tables·8, 128) gather rows
+    slots = jnp.arange(PROB_SCALE, dtype=jnp.int32)
+    lut8 = (jax.vmap(
+        lambda cr: jnp.searchsorted(cr, slots, side="right") - 1
+    )(c32)).astype(jnp.int32).reshape(n_tables, PROB_SCALE // 4, 4)
+    lut = (lut8[..., 0] | (lut8[..., 1] << 8) | (lut8[..., 2] << 16)
+           | (lut8[..., 3] << 24)).reshape(n_tables * 8, 128)
+    # (8,128) f/c gather rows per table [f_lo|f_hi|c_lo|c_hi|0…] (same
+    # layout as the encoder's; padded to the native 8-sublane gather)
+    fc = jnp.concatenate([
+        freqs.astype(jnp.int32).reshape(n_tables, 2, 128),
+        c32.reshape(n_tables, 2, 128),
+        jnp.zeros((n_tables, 4, 128), jnp.int32),
+    ], axis=1).reshape(n_tables * 8, 128)
 
     kernel = partial(_decode_kernel, v_seg, s_seg, w_rows)
     sym = pl.pallas_call(
@@ -339,11 +337,9 @@ def decode_words_pallas(
             pl.BlockSpec((v_seg * w_rows, 128),
                          lambda t, s: (t * slots_per_table + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda t, s: (t, 0),
+            pl.BlockSpec((8, 128), lambda t, s: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda t, s: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, NG), lambda t, s: (t, 0),
+            pl.BlockSpec((8, 128), lambda t, s: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -355,7 +351,7 @@ def decode_words_pallas(
     )(
         counts.astype(jnp.int32).reshape(1, n_streams),
         streams.reshape(n_streams * w_rows, 128),
-        chi, clo, heads,
+        lut, fc,
     )
     return sym.reshape(n_streams, s_seg, 128)
 
@@ -397,7 +393,7 @@ def _reg_append(win, cur, pos, words, mask, w0):
 
 
 def _encode_kernel(v_seg, s_seg, w_rows,
-                   sym_ref, fc_hi_ref, fc_lo_ref,
+                   sym_ref, fc_ref,
                    stream_ref, counts_ref):
     # v_seg independent per-segment chains per slot (see _decode_kernel).
     iota16_0, win, lane_iota, ltT = _iotas()
@@ -421,18 +417,20 @@ def _encode_kernel(v_seg, s_seg, w_rows,
 
     def one(v, i, x, cur, w0):
         row = sym_ref[pl.ds(v * s_seg + (s_seg - 1 - i), 1), :]  # LIFO rows
-        shi = row >> 4
-        slo = row & 15
-        oh = (shi == iota16_0).astype(jnp.bfloat16)              # (16,128)
-        # fused (freq | cum) lookup: ONE hi/lo dot pair over the stacked
-        # (32,16) table → (32,128) block, rows 0-15 freq / 16-31 cum
-        # (measured +12% over separate freq and cum dot pairs).
-        blk = _tdot16(fc_hi_ref, fc_lo_ref, oh)                  # (32,128)
-        sel = (slo == iota16_0).astype(jnp.float32)
-        f_f = jnp.sum(blk[:16, :] * sel, axis=0, keepdims=True)
-        c_f = jnp.sum(blk[16:, :] * sel, axis=0, keepdims=True)
-        f = f_f.astype(jnp.int32).astype(jnp.uint32)
-        c = c_f.astype(jnp.int32).astype(jnp.uint32)
+        # (freq | cum) lookup from the (8,128) gather rows [f_lo | f_hi
+        # | c_lo | c_hi | 0…]: one lane gather + two sublane gathers
+        # (replaced the one-hot + hi/lo-split MXU dot pair — fewer ops,
+        # exact int32, no bf16 constraints).
+        fcg = jnp.take_along_axis(
+            fc_ref[:, :], jnp.broadcast_to(row & (NG - 1), (8, NG)),
+            axis=1)
+        hi = (row >= NG).astype(jnp.int32)
+        f = jnp.take_along_axis(
+            fcg, jnp.broadcast_to(hi, (8, NG)), axis=0
+        )[0:1, :].astype(jnp.uint32)
+        c = jnp.take_along_axis(
+            fcg, jnp.broadcast_to(2 + hi, (8, NG)), axis=0
+        )[0:1, :].astype(jnp.uint32)
         emit = (x >> 20) >= f
         w = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
         rank = jax.lax.dot_general(
@@ -531,19 +529,14 @@ def encode_words_pallas(
         v_seg *= 2
     slots_per_table = seg_per_table // v_seg
 
-    # transposed block tables T[j,k] = v[16k+j], hi/lo split (see _tdot16),
-    # freq and cum stacked into one (32,16) block per table so the kernel
-    # looks both up with a single dot pair
-    def tsplit(v):
-        vt = v.astype(jnp.int32).reshape(n_tables, 16, 16).transpose(0, 2, 1)
-        return (vt >> 8), (vt & 255)
-
-    fhi, flo = tsplit(freqs)
-    chi, clo = tsplit(cums)
-    fchi = jnp.concatenate([fhi, chi], axis=1).astype(
-        jnp.float32).reshape(n_tables * 32, 16)
-    fclo = jnp.concatenate([flo, clo], axis=1).astype(
-        jnp.float32).reshape(n_tables * 32, 16)
+    # (8,128) i32 gather rows per table: [f_lo128 | f_hi128 | c_lo128 |
+    # c_hi128 | 0…] (lo/hi = symbol < 128 / ≥ 128) — the kernel looks
+    # values up with 2-D dynamic gathers at the native 8-sublane shape
+    fc = jnp.concatenate([
+        freqs.astype(jnp.int32).reshape(n_tables, 2, 128),
+        cums.astype(jnp.int32).reshape(n_tables, 2, 128),
+        jnp.zeros((n_tables, 4, 128), jnp.int32),
+    ], axis=1).reshape(n_tables * 8, 128)
 
     kernel = partial(_encode_kernel, v_seg, s_seg, w_rows)
     streams, counts = pl.pallas_call(
@@ -557,10 +550,9 @@ def encode_words_pallas(
             pl.BlockSpec((v_seg * s_seg, 128),
                          lambda t, s: (t * slots_per_table + s, 0),
                          memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec((32, 16), lambda t, s: (t, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 2,
+            pl.BlockSpec((8, 128), lambda t, s: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=(
             pl.BlockSpec((v_seg * w_rows, 128),
                          lambda t, s: (t * slots_per_table + s, 0),
@@ -573,7 +565,7 @@ def encode_words_pallas(
         interpret=interpret,
     )(
         symbols.reshape(n_streams * s_seg, 128).astype(jnp.int32),
-        fchi, fclo,
+        fc,
     )
     return (
         streams.reshape(n_streams, w_rows, 128),

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rans3_kernels import NG, _compiler_params
+from .rans3_kernels import NG, _compiler_params, _win_read
 
 #: pixel rows per compaction block (BR·128 = 65536 pixels; value scratch =
 #: (BR+8)·512 B ≈ 266 KB of VMEM per v-slot).
@@ -357,24 +357,13 @@ def _expand_kernel(v_blk, br,
             for j in range(8):
                 cur_j = cur + off[j, 0]
                 mask = bits[j : j + 1, :] == 1
-                # 2-row window gather at cur_j + rank: lane-roll the
-                # window span to lane 0, then one (128,128) one-hot
-                # dot (the rans3 _win_read scheme, u8-exact).  The 8
-                # row gathers are independent given ``cur`` (off is a
-                # prepass) — the scheduler overlaps them.
-                r0 = cur_j >> 7
-                sh = cur_j & 127
-                two = scratch[pl.ds(v * (br + 8) + r0, 2), :]
-                rot = pltpu.roll(two, -sh, 1)
-                w = jnp.where(lane < NG - sh, rot[0:1, :], rot[1:2, :])
-                pp = jnp.where(mask, rank[j : j + 1, :], -1)
-                oh = (pp == iota128_0).astype(jnp.bfloat16)
-                out = jax.lax.dot_general(
-                    w.astype(jnp.bfloat16), oh,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                sym_ref[pl.ds(v * br + 8 * g + j, 1), :] = jnp.where(
-                    mask, out.astype(jnp.int32), 0)
+                # window gather at cur_j + rank via the Mosaic dynamic
+                # gathers (rans3 _win_read).  The 8 row gathers are
+                # independent given ``cur`` (off is a prepass) — the
+                # scheduler overlaps them.
+                out = _win_read(scratch, v * (br + 8), br + 8, cur_j,
+                                rank[j : j + 1, :], mask)
+                sym_ref[pl.ds(v * br + 8 * g + j, 1), :] = out
         return cur + tile_cnt
 
     def tile(g, curs):

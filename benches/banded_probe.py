@@ -69,15 +69,18 @@ def main():
         interleaved=True))
     sym = jax.block_until_ready(sym_fn(rgb))  # (3, P) u8, interleaved order
 
+    # T+H parity split only: W (the minor axis) stays put, so the
+    # transpose is a sublane-level copy, not a lane shuffle.  3 of the 4
+    # (t,h)-parity groups are temporally/spatially high — mostly zero.
     @jax.jit
     def band_permute(s):
-        v = s.reshape(3, pf // 2, 2, ph // 2, 2, pw // 2, 2)
-        return v.transpose(0, 2, 4, 6, 1, 3, 5).reshape(3, p)
+        v = s.reshape(3, pf // 2, 2, ph // 2, 2, pw)
+        return v.transpose(0, 2, 4, 1, 3, 5).reshape(3, p)
 
     @jax.jit
     def band_unpermute(s):
-        v = s.reshape(3, 2, 2, 2, pf // 2, ph // 2, pw // 2)
-        return v.transpose(0, 4, 1, 5, 2, 6, 3).reshape(3, p)
+        v = s.reshape(3, 2, 2, pf // 2, ph // 2, pw)
+        return v.transpose(0, 3, 1, 4, 2, 5).reshape(3, p)
 
     bsym, t_perm = timed("band permute (3,P) u8", band_permute, sym)
     _, t_unperm = timed("band unpermute", band_unpermute, bsym)

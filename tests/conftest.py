@@ -6,6 +6,7 @@ TPU).  Must run before jax is imported anywhere.
 """
 
 import os
+import sys
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS=axon (the tunneled
 # TPU), which makes every distinct-shape compile a 20-40s remote round trip.
@@ -15,6 +16,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if "jax" in sys.modules:
+    # the axon sitecustomize eagerly imports jax at interpreter startup,
+    # making the env pins above too late — reconfigure and reset
+    import jax
+    import jax.extend
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.extend.backend.clear_backends()
 
 # Persistent XLA compilation cache: repeat test runs skip recompiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/alc_jax_cache")
