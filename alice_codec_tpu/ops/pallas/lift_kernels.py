@@ -48,11 +48,19 @@ from .rans3_kernels import _compiler_params
 
 __all__ = ["lift3d_ok", "forward_3d_pallas", "inverse_3d_pallas"]
 
-#: Max bytes for one i32 working tile.  Empirical: Mosaic keeps ~11
+#: Max bytes for one i32 working tile.  Empirical: Mosaic keeps ~11-13
 #: tile-sized values live through a 2-step lift chain (rolls, masks,
-#: deltas — measured 215 MB at a 19.6 MB tile on v5e, which exceeds the
-#: 128 MB physical VMEM), so 8 MB tiles bound the kernel at ~90 MB.
-_TILE_BYTES = 8 * 1024 * 1024
+#: deltas — measured 215 MB at a 19.6 MB tile on v5e, and the fused
+#: dequant kernel hit 102 MB at a 7.97 MB slab), so 6 MB tiles bound the
+#: worst kernel at ~80 MB against the 96 MB grant.  At 1080p×64 the
+#: temporal Hb stays 8 either way — only mid-size shapes change tiling.
+_TILE_BYTES = 6 * 1024 * 1024
+
+#: Max bytes for the spatial kernel's (H, W) frame block.  The spatial
+#: kernel's live set is smaller than the temporal chain's (its lift axes
+#: are in-tile, no quantize fusion temporaries), so it affords the full
+#: 1080p frame (8.3 MB) — measured within the 96 MB grant on v5e.
+_FRAME_BYTES = 9 * 1024 * 1024
 
 
 def _roll(x, shift: int, axis: int):
@@ -170,7 +178,7 @@ def lift3d_ok(shape: tuple[int, ...]) -> bool:
     t, h, w = shape[-3], shape[-2], shape[-1]
     if t % 2 or h % 2 or w % 2:
         return False
-    if h * w * 4 > _TILE_BYTES + _TILE_BYTES // 8:  # 1080p (8.3 MB) fits
+    if h * w * 4 > _FRAME_BYTES:  # 1080p (8.3 MB) fits
         return False
     return _pick_hb(t, h, w) >= 1
 
