@@ -16,7 +16,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# reuse the bench's persistent compile cache (fresh Mosaic/XLA compiles of
+# the 1080p programs take ~10 min through the dev tunnel otherwise)
+_cache = os.path.join(_REPO, ".jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _cache if os.path.isdir(_cache) else "/tmp/alc_jax_cache",
+)
 
 import numpy as np
 
