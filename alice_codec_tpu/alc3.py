@@ -28,7 +28,7 @@ against the NumPy spec (tests/test_alc3.py): a pure-host decoder
 
 Container layout (little-endian)::
 
-    "ALC3" | version=2 | wavelet u8 | w u32 | h u32 | f u32
+    "ALC3" | version u8 (=_VERSION3) | wavelet u8 | w u32 | h u32 | f u32
     n_chunks u32 | s_seg u32 | n_segments u32
     per chunk × n_chunks:
         flags u8 (bit 0: RDO steps; bit 1: deep symbols; bits 2-3:
@@ -69,6 +69,7 @@ from .ops.pallas.rans3_kernels import (
 )
 from .ops.pallas.sparse_kernels import (
     BLOCK_ROWS,
+    TILE_ROWS,
     DEFAULT_V_BLK,
     block_geometry,
     block_value_rows,
@@ -101,11 +102,13 @@ __all__ = ["DEFAULT_S_SEG", "DeviceChunk", "Alc3Codec"]
 DEFAULT_S_SEG = 2048
 
 _MAGIC3 = b"ALC3"
-#: v4: coefficients ride the INTERLEAVED wavelet layout (low at even
-#: indices — wavelet.forward_3d_inter), a fixed permutation of the v3
-#: symbol ordering; v3: sparse planes moved to the block-major layout of
+#: v5: sparse value planes pad per 8-row TILE (sparse_kernels wire v5 —
+#: row-aligned tiles, no serial kernel chains); v4: coefficients ride the
+#: INTERLEAVED wavelet layout (low at even indices —
+#: wavelet.forward_3d_inter), a fixed permutation of the v3 symbol
+#: ordering; v3: sparse planes moved to the block-major layout of
 #: ops/pallas/sparse_kernels.py.
-_VERSION3 = 4
+_VERSION3 = 5
 #: histogram subsampling stride for ALC3 table seeding (see
 #: pipeline._hist_sample) — the full-plane one-hot histogram was the
 #: single biggest transform-stage item at 1080p (98 ms measured).  The
@@ -348,10 +351,14 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b):
     br = BLOCK_ROWS
     nc = symbols.shape[0]
     _, nbk = block_geometry(pp, br)
-    blk = br * NG
+    # per-TILE nonzero counts → ceil rows per tile → rows per kernel
+    # block (wire v5 tile-major padding; must agree with
+    # sparse_kernels.block_value_rows / value_row_bases exactly)
+    blk = TILE_ROWS * NG
     cnt = jnp.sum(
-        (symbols.reshape(nc, nbk, blk) != 0).astype(jnp.int32), axis=-1)
-    rows = -(-cnt // NG)
+        (symbols.reshape(nc, nbk, br // TILE_ROWS, blk) != 0
+         ).astype(jnp.int32), axis=-1)
+    rows = jnp.sum(-(-cnt // NG), axis=-1)
     # clamp to capacity: encode() dispatches phase 2 OPTIMISTICALLY with
     # the cached buckets and re-dispatches bigger if ch_rows overflowed —
     # the clamp keeps the kernel's value-window DMAs in bounds meanwhile

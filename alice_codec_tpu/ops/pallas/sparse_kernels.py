@@ -16,20 +16,34 @@ ops/sparse_spec.py):
   so a kernel unpacks 8 pixel rows with ONE shift+mask op, and the
   bitmap plane is the (Pr/8, 128) byte array flattened row-major
   (P/8 entropy symbols per channel, same count as round 2).
-* **Values** are compacted BLOCK-MAJOR: the plane is tiled into blocks of
-  ``BR`` pixel rows; each block's nonzero symbols (pixel order) are
-  appended and zero-padded up to a whole number of 128-lane rows.  Blocks
-  concatenate; the tail is zero-padded to the segment-aligned value
-  capacity ``kcap``.  Row alignment is what makes every kernel window a
-  row-aligned slice — the ≤0.8% extra padding rows buy fully static
-  shapes (the padding symbol 0 carries probability mass like every other
-  padding, see alc3._table_hists).
+* **Values** are compacted TILE-MAJOR (wire v5): the plane is tiled into
+  TILES of ``TILE_ROWS = 8`` pixel rows — exactly one hardware (8,128)
+  vreg and one bitmap byte-row; each tile's nonzero symbols (pixel
+  order) are appended and zero-padded up to a whole number of 128-lane
+  rows.  Tiles concatenate; the tail is zero-padded to the
+  segment-aligned value capacity ``kcap``.
 
-Block value-row bases are an XLA prepass (popcount + cumsum over the tiny
-(3, nb) count array), so blocks share NO state: the kernels V-batch blocks
-per grid slot exactly like the rANS kernels V-batch segments.  Empty
-8-row tiles (the common case in high sub-bands) skip all scatter/gather
-work via ``pl.when`` — the kernels are content-adaptive.
+  The tile granularity is the round-3 performance redesign: every
+  tile's value region starts at a ROW boundary, so the compact kernel
+  builds each tile's padded rows entirely in vector registers and
+  stores them with ONE aligned block store, and the expand kernel reads
+  each tile's rows with ONE aligned window read + 2-D dynamic gather.
+  The wire v3/v4 layout padded per 512-row BLOCK instead, which forced
+  a serial lane-append chain through the whole block (measured 155 ms
+  compact / most of 183 ms expand at 1080p×64 — the two largest stages
+  of the roundtrip).  Tiles share no state beyond a SCALAR row cursor,
+  so the only cross-tile dependency is a scalar add.  Rate cost of the
+  finer padding: value rows grow by the per-tile ceil (≈ +6-9% value
+  symbols at q=90 densities; the padding symbol 0 carries probability
+  mass like every other padding, see alc3._table_hists).
+
+Kernel processing granularity stays ``BLOCK_ROWS = 512`` pixel rows per
+grid step (DMA efficiency); block value-row bases are an XLA prepass
+(popcount + cumsum over the tiny (3, nb·64) tile-count array), so blocks
+share NO state: the kernels V-batch blocks per grid slot exactly like
+the rANS kernels V-batch segments.  Empty 8-row tiles (the common case
+in high sub-bands) skip all scatter/gather work via ``pl.when`` — the
+kernels are content-adaptive.
 
 Mosaic ground rules inherited from rans3_kernels.py: lane-major
 everything, one-hot matmuls instead of vector indexing, bf16-exact MXU
@@ -46,11 +60,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rans3_kernels import NG, _compiler_params, _win_read
+from .rans3_kernels import NG, _compiler_params, _gather2d
 
-#: pixel rows per compaction block (BR·128 = 65536 pixels; value scratch =
-#: (BR+8)·512 B ≈ 266 KB of VMEM per v-slot).
+#: pixel rows per KERNEL processing block (BR·128 = 65536 pixels; value
+#: scratch = (BR+8)·512 B ≈ 266 KB of VMEM per v-slot).  Processing
+#: granularity only — the WIRE pads values per TILE_ROWS tile.
 BLOCK_ROWS = 512
+#: pixel rows per value-padding tile (wire v5): one (8,128) vreg / one
+#: bitmap byte-row.  Each tile's nonzeros pad to whole 128-lane rows.
+TILE_ROWS = 8
 #: blocks processed per grid slot as independent dataflow chains.  alc3
 #: pads the sparse plane so the per-channel block count is always a
 #: multiple of this (1080p×64 gives nb=2025 blocks — without padding the
@@ -60,6 +78,7 @@ DEFAULT_V_BLK = 4
 
 __all__ = [
     "BLOCK_ROWS",
+    "TILE_ROWS",
     "block_geometry",
     "block_value_rows",
     "plane_row_bases",
@@ -90,15 +109,15 @@ def _norm_krs(krs, nc: int) -> tuple[int, ...]:
     return krs
 
 
-def block_value_rows(planes: jnp.ndarray, br: int = BLOCK_ROWS):
-    """Value rows each plane needs under block-major padding.
+def block_value_rows(planes: jnp.ndarray):
+    """Value rows each plane needs under tile-major (wire v5) padding.
 
-    ``planes``: (nc, P) symbols (P a whole number of blocks).  Returns
-    (nc,) int32.  The ONE owner of the ceil-per-block rule — encoder
+    ``planes``: (nc, P) symbols (P a whole number of tiles).  Returns
+    (nc,) int32.  The ONE owner of the ceil-per-tile rule — encoder
     capacity sizing (alc3/pipeline phase 1) and the kernels' vbase
     prepass must agree on it exactly."""
     nc, p = planes.shape
-    blk = br * NG
+    blk = TILE_ROWS * NG
     cnt = jnp.sum(
         (planes.reshape(nc, p // blk, blk) != 0).astype(jnp.int32), axis=-1)
     return jnp.sum(-(-cnt // NG), axis=-1).astype(jnp.int32)
@@ -129,10 +148,12 @@ def value_row_bases(bitmaps: jnp.ndarray, p: int, krs,
     nc = bitmaps.shape[0]
     krs = _norm_krs(krs, nc)
     pr, nb = block_geometry(p, br)
+    # one bitmap byte-row (128 bytes) per tile → per-tile set counts
     counts = jax.lax.population_count(
-        bitmaps.astype(jnp.uint8).reshape(nc, nb, (br // 8) * NG)
-    ).astype(jnp.int32).sum(axis=-1)                       # (nc, nb)
-    rows = -(-counts // NG)                                # ceil → block rows
+        bitmaps.astype(jnp.uint8).reshape(nc, nb * (br // TILE_ROWS), NG)
+    ).astype(jnp.int32).sum(axis=-1)                       # (nc, ntiles)
+    trows = -(-counts // NG)                               # ceil per tile
+    rows = trows.reshape(nc, nb, br // TILE_ROWS).sum(-1)  # (nc, nb)
     ch_rows = rows.sum(axis=-1)                            # (nc,)
     excl = jnp.cumsum(rows, axis=-1) - rows                # exclusive scan
     # clamp to capacity so a hostile bitmap (popcount beyond the declared
@@ -179,15 +200,18 @@ def _compact_kernel(v_blk, br,
                     bm_ref, vals_hbm, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
     iota128_0, lane = win
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, NG), 0)
     slot = pl.program_id(0)
-    bm8 = br // 8
+    bm8 = br // TILE_ROWS
 
     # zero tails are load-bearing: block k's zero tail is block k+1's
     # data region in the overlapped HBM write-out below.
     scratch[:, :] = jnp.zeros(scratch.shape, jnp.int32)
 
     def one(v, g, cur):
-        rows = sym_ref[pl.ds(v * br + 8 * g, 8), :]
+        # ``cur``: the block's value ROW cursor — tiles are row-aligned
+        # (wire v5), so the only cross-tile dependency is this scalar.
+        rows = sym_ref[pl.ds(v * br + TILE_ROWS * g, 8), :]
         bits = (rows != 0).astype(jnp.int32)                   # (8,NG)
         # bitmap byte row: bit j = pixel row 8g+j
         byte = jnp.sum(bits << iota8_0, axis=0, keepdims=True)
@@ -197,11 +221,12 @@ def _compact_kernel(v_blk, br,
         @pl.when(tile_cnt > 0)
         def _scatter():
             rank, off = _row_ranks(bits, ltT, lt8)
-            srow = v * (br + 8)
-            # level 1: per-row left-compaction — 8 INDEPENDENT one-hot
-            # dots (words of row j land at lanes [0, cnt_j)); the
-            # scheduler overlaps them freely.
-            vals = []
+            # the tile's padded value rows build entirely in registers:
+            # per pixel row j, one-hot left-compaction (independent MXU
+            # dots), then placement at the tile-local offset off_j —
+            # a lane roll plus row-select masks.  No appends through
+            # VMEM, no cross-tile chain.
+            parts = []
             for j in range(8):
                 mask = bits[j : j + 1, :] == 1
                 word = jnp.where(mask, rows[j : j + 1, :], 0)
@@ -211,24 +236,25 @@ def _compact_kernel(v_blk, br,
                     word.astype(jnp.bfloat16), oh,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)        # (1,128)
-                vals.append(c.astype(jnp.int32))
-            # level 2: register append chain over the compacted rows —
-            # the active stream row lives in a register (read once per
-            # tile), appends are roll+where+add, and each step stores
-            # the active row unconditionally (last store wins; the rans3
-            # encode-kernel scheme — no per-row read-modify-write).
-            w0 = scratch[pl.ds(srow + (cur >> 7), 1), :]
-            for j in range(8):
-                cur_j = cur + off[j, 0]
-                ncur_j = cur + (off[j + 1, 0] if j < 7 else tile_cnt)
-                sh = cur_j & 127
-                vr = pltpu.roll(vals[j], sh, 1)
-                full = w0 + jnp.where(lane >= sh, vr, 0)
-                scratch[pl.ds(srow + (cur_j >> 7), 1), :] = full
-                w0 = jnp.where((ncur_j >> 7) != (cur_j >> 7),
-                               jnp.where(lane < sh, vr, 0), full)
-            scratch[pl.ds(srow + ((cur + tile_cnt) >> 7), 1), :] = w0
-        return cur + tile_cnt
+                cj = c.astype(jnp.int32)
+                oj = off[j, 0]                  # tile-local word offset
+                sh = oj & 127
+                vr = pltpu.roll(cj, sh, 1)
+                r0 = oj >> 7
+                a = jnp.where(lane >= sh, vr, 0)      # lands in row r0
+                b = jnp.where(lane < sh, vr, 0)       # spills to r0+1
+                parts.append(jnp.where(row8 == r0, a, 0)
+                             + jnp.where(row8 == r0 + 1, b, 0))
+            acc = parts[0]
+            for part in parts[1:]:
+                acc = acc + part
+            # one aligned 8-row store; rows past this tile's ceil are
+            # zeros and the NEXT tile's store (sequential g) overwrites
+            # them — trailing zeros past the block's rows land in the
+            # next block's region and are overwritten by its write-out
+            # DMA (sequential block order below).
+            scratch[pl.ds(v * (br + 8) + cur, 8), :] = acc
+        return cur + ((tile_cnt + NG - 1) >> 7)
 
     def tile(g, curs):
         # v_blk blocks advance together as independent chains (their op
@@ -268,7 +294,8 @@ def compact_pallas(
     values (sum(kr)+nc·br, 128) int32)`` — values rows beyond each
     plane's used rows are UNSPECIFIED; mask with ``ch_rows`` before
     entropy coding (alc3 does).  ``kr`` = value capacity rows per plane
-    (int, or a per-plane tuple).
+    (int, or a per-plane tuple); ``br`` = KERNEL block rows (processing
+    granularity — the wire pads values per TILE_ROWS tile).
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
@@ -320,10 +347,12 @@ def _expand_kernel(v_blk, br,
                    sym_ref, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
     slot = pl.program_id(0)
-    bm8 = br // 8
+    bm8 = br // TILE_ROWS
 
     # stage each block's value window first (reads may overlap freely; the
-    # DMAs run while the first tiles' bitmap work proceeds)
+    # DMAs run while the first tiles' bitmap work proceeds).  Tile window
+    # reads stay within the staged br rows: a tile's base is the sum of
+    # at most 63 preceding 8-row ceils (≤ 504), so [cur, cur+8) ≤ br.
     for v in range(v_blk):
         base = vbase_ref[0, slot * v_blk + v]
         pltpu.make_async_copy(
@@ -342,29 +371,31 @@ def _expand_kernel(v_blk, br,
     iota128_0, lane = win
 
     def one(v, g, cur):
+        # ``cur``: block-local value ROW cursor (tiles row-aligned, v5).
         byte = bm_ref[pl.ds(v * bm8 + g, 1), :]                # (1,NG)
         bits = (byte >> iota8_0) & 1                           # (8,NG)
         tile_cnt = jnp.sum(bits)
 
         @pl.when(tile_cnt == 0)
         def _zeros():
-            sym_ref[pl.ds(v * br + 8 * g, 8), :] = jnp.zeros(
+            sym_ref[pl.ds(v * br + TILE_ROWS * g, 8), :] = jnp.zeros(
                 (8, NG), jnp.int32)
 
         @pl.when(tile_cnt > 0)
         def _gather():
             rank, off = _row_ranks(bits, ltT, lt8)
+            # the tile's value rows are one aligned (8,128) window; each
+            # pixel row is a 2-D dynamic gather at tile-local positions
+            # off_j + rank — no serial chain, the 8 gathers and the
+            # v_blk block chains all overlap.
+            win8 = scratch[pl.ds(v * (br + 8) + cur, 8), :]
             for j in range(8):
-                cur_j = cur + off[j, 0]
                 mask = bits[j : j + 1, :] == 1
-                # window gather at cur_j + rank via the Mosaic dynamic
-                # gathers (rans3 _win_read).  The 8 row gathers are
-                # independent given ``cur`` (off is a prepass) — the
-                # scheduler overlaps them.
-                out = _win_read(scratch, v * (br + 8), br + 8, cur_j,
-                                rank[j : j + 1, :], mask)
-                sym_ref[pl.ds(v * br + 8 * g + j, 1), :] = out
-        return cur + tile_cnt
+                pj = jnp.where(mask, off[j, 0] + rank[j : j + 1, :], 0)
+                out = _gather2d(win8, pj >> 7, pj & (NG - 1))
+                sym_ref[pl.ds(v * br + TILE_ROWS * g + j, 1), :] = (
+                    jnp.where(mask, out, 0))
+        return cur + ((tile_cnt + NG - 1) >> 7)
 
     def tile(g, curs):
         # v_blk blocks advance together as independent chains (the same

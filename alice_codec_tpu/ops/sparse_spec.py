@@ -1,4 +1,4 @@
-"""NumPy executable spec of the ALC3 v3 sparse plane layout.
+"""NumPy executable spec of the ALC3 v5 sparse plane layout.
 
 The Pallas kernels in ops/pallas/sparse_kernels.py must match this
 word-for-word (the same spec/kernel split as ops/rans_word.py vs
@@ -10,16 +10,20 @@ Layout summary for a channel of P symbols (P % 1024 == 0):
 * bitmap: (Pr/8, 128) bytes, byte (r', l) bit j = ``symbols[(8r'+j)·128+l]
   != 0``; the bitmap PLANE (entropy-coded) is this array flattened
   row-major → (P/8,) uint8;
-* values: blocks of BR pixel rows; block k's nonzero symbols in pixel
-  (row-major) order, zero-padded to a multiple of 128; blocks
-  concatenated, tail zero-padded to ``kcap``.
+* values: TILES of TILE_ROWS = 8 pixel rows (one bitmap byte-row); tile
+  k's nonzero symbols in pixel (row-major) order, zero-padded to a
+  multiple of 128; tiles concatenated, tail zero-padded to ``kcap``.
+
+Wire v4 padded values per 512-pixel-row BLOCK instead; the 8-row tile
+granularity (v5) is what lets the kernels build/read every tile's value
+rows as ONE aligned register block (sparse_kernels.py docstring).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .pallas.sparse_kernels import BLOCK_ROWS
+from .pallas.sparse_kernels import TILE_ROWS
 
 __all__ = ["pack_bitmap", "unpack_bitmap", "compact_values",
            "expand_values", "value_rows_needed"]
@@ -46,8 +50,9 @@ def unpack_bitmap(bitmap: np.ndarray) -> np.ndarray:
     return bits.reshape(*b.shape[:-1], p8 * 8)
 
 
-def value_rows_needed(symbols: np.ndarray, br: int = BLOCK_ROWS) -> int:
-    """Value rows (128-lane) for one channel under block-major padding."""
+def value_rows_needed(symbols: np.ndarray, br: int = TILE_ROWS) -> int:
+    """Value rows (128-lane) for one channel under tile-major padding
+    (``br``: padding granularity in pixel rows — TILE_ROWS on the wire)."""
     s = np.asarray(symbols).reshape(-1)
     blocks = s.reshape(-1, br * 128)
     cnt = (blocks != 0).sum(axis=1)
@@ -55,8 +60,8 @@ def value_rows_needed(symbols: np.ndarray, br: int = BLOCK_ROWS) -> int:
 
 
 def compact_values(symbols: np.ndarray, kcap: int,
-                   br: int = BLOCK_ROWS) -> np.ndarray:
-    """One channel's (P,) symbols → (kcap,) block-major padded values."""
+                   br: int = TILE_ROWS) -> np.ndarray:
+    """One channel's (P,) symbols → (kcap,) tile-major padded values."""
     s = np.asarray(symbols).reshape(-1)
     out = np.zeros(kcap, s.dtype)
     off = 0
@@ -69,7 +74,7 @@ def compact_values(symbols: np.ndarray, kcap: int,
 
 
 def expand_values(bitmap: np.ndarray, values: np.ndarray,
-                  br: int = BLOCK_ROWS) -> np.ndarray:
+                  br: int = TILE_ROWS) -> np.ndarray:
     """Inverse of (pack_bitmap, compact_values) for one channel."""
     bits = unpack_bitmap(bitmap).astype(bool)
     p = bits.shape[-1]

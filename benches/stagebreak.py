@@ -205,9 +205,9 @@ def sparse_main(small, iters):
     # phase-2 internals: compact alone
     _, nbk = block_geometry(pp, BLOCK_ROWS)
     bases, _ = plane_row_bases(krs, BLOCK_ROWS)
-    cnt = jnp.sum((symbols.reshape(3, nbk, BLOCK_ROWS * 128) != 0
+    cnt = jnp.sum((symbols.reshape(3, nbk, BLOCK_ROWS // 8, 8 * 128) != 0
                    ).astype(jnp.int32), axis=-1)
-    rows = -(-cnt // 128)
+    rows = jnp.sum(-(-cnt // 128), axis=-1)
     excl = jnp.minimum(jnp.cumsum(rows, axis=-1) - rows,
                        jnp.asarray(krs, jnp.int32)[:, None])
     vbase = (excl + jnp.asarray(bases, jnp.int32)[:, None]).reshape(-1)

@@ -185,7 +185,7 @@ def test_sparse_all_zero_channels():
 
 
 def test_sparse_plane_roundtrip_unit():
-    """v3 block-major sparse plane roundtrip through the NumPy spec
+    """v5 tile-major sparse plane roundtrip through the NumPy spec
     (kernel-vs-spec parity lives in test_sparse_kernels.py)."""
     from alice_codec_tpu.ops import sparse_spec as spec
 
@@ -194,9 +194,9 @@ def test_sparse_plane_roundtrip_unit():
     sym = np.where(rng.random(p) < 0.8, 0,
                    rng.integers(1, 256, size=p)).astype(np.uint8)
     bm = spec.pack_bitmap(sym)
-    kr = spec.value_rows_needed(sym, 64)
-    vals = spec.compact_values(sym, (kr + 8) * 128, br=64)
-    back = spec.expand_values(bm, vals, br=64)
+    kr = spec.value_rows_needed(sym)
+    vals = spec.compact_values(sym, (kr + 8) * 128)
+    back = spec.expand_values(bm, vals)
     np.testing.assert_array_equal(back, sym)
 
 

@@ -28,16 +28,16 @@ def test_compact_expand_roundtrip_matches_spec(density):
     syms = np.stack([_channel_syms(p, d, rng)
                      for d in (density, density / 2, 0.9 * density)])
 
-    # spec side
+    # spec side (wire padding is per 8-row TILE — the spec default)
     bm_spec = np.stack([spec.pack_bitmap(syms[c]) for c in range(3)])
-    need = max(spec.value_rows_needed(syms[c], br) for c in range(3))
+    need = max(spec.value_rows_needed(syms[c]) for c in range(3))
     kr = max(-(-need // 8) * 8, 8)
     vals_spec = np.stack(
-        [spec.compact_values(syms[c], kr * 128, br) for c in range(3)])
+        [spec.compact_values(syms[c], kr * 128) for c in range(3)])
 
     vbase, ch_rows = value_row_bases(jnp.asarray(bm_spec), p, kr, br=br)
     for c in range(3):
-        assert int(ch_rows[c]) == spec.value_rows_needed(syms[c], br)
+        assert int(ch_rows[c]) == spec.value_rows_needed(syms[c])
 
     # kernel compact
     bm_k, vals_k = compact_pallas(
@@ -73,7 +73,7 @@ def test_per_plane_capacities_roundtrip():
 
     bm_spec = np.stack([spec.pack_bitmap(syms[c]) for c in range(3)])
     krs = tuple(
-        max(-(-spec.value_rows_needed(syms[c], br) // 8) * 8, 8)
+        max(-(-spec.value_rows_needed(syms[c]) // 8) * 8, 8)
         for c in range(3))
     assert krs[0] > krs[1]  # the point of the feature
 
@@ -91,7 +91,7 @@ def test_per_plane_capacities_roundtrip():
         used = int(ch_rows[c])
         np.testing.assert_array_equal(
             vals[base : base + used].reshape(-1),
-            spec.compact_values(syms[c], krs[c] * 128, br)[: used * 128],
+            spec.compact_values(syms[c], krs[c] * 128)[: used * 128],
             err_msg=f"plane {c} compacted values",
         )
         vals[base + used : base + krs[c] + br] = 0

@@ -149,7 +149,7 @@ for density in (0.0, 0.05, 0.5, 1.0):
         for d in (density, density / 2, min(1.0, density * 1.5))
     ]).astype(np.uint8)
     bm_spec = np.stack([sparse_spec.pack_bitmap(syms[c]) for c in range(3)])
-    need = max(sparse_spec.value_rows_needed(syms[c], br) for c in range(3))
+    need = max(sparse_spec.value_rows_needed(syms[c]) for c in range(3))
     kr = max(-(-need // 8) * 8, 8)
     vbase, ch_rows = value_row_bases(jnp.asarray(bm_spec), p, kr, br=br)
     bm_k, vals_k = compact_pallas(jnp.asarray(syms), vbase, p=p, kr=kr, br=br)
@@ -158,14 +158,14 @@ for density in (0.0, 0.05, 0.5, 1.0):
     vk = np.asarray(vals_k).reshape(3, kr + br, 128)
     for c in range(3):
         used = int(ch_rows[c])
-        want = sparse_spec.compact_values(syms[c], kr * 128, br)[: used * 128]
+        want = sparse_spec.compact_values(syms[c], kr * 128)[: used * 128]
         if not np.array_equal(vk[c, :used].reshape(-1), want.astype(np.int32)):
             failures.append(f"compact values d={density} ch={c}")
             break
     vfull = np.zeros((3, kr + br, 128), np.int32)
     for c in range(3):
         vfull[c, :kr] = sparse_spec.compact_values(
-            syms[c], kr * 128, br).reshape(kr, 128)
+            syms[c], kr * 128).reshape(kr, 128)
     out = expand_pallas(
         jnp.asarray(bm_spec), jnp.asarray(vfull.reshape(-1, 128)),
         vbase, p=p, kr=kr, br=br)
