@@ -380,6 +380,10 @@ def main() -> None:
         "JAX_COMPILATION_CACHE_DIR",
         cache if os.path.isdir(cache) else "/tmp/alc_jax_cache",
     )
+    # The tunneled backend defers real compilation to the remote runtime,
+    # so locally-measured compile times sit under the persistent cache's
+    # default 1 s write threshold and NOTHING gets cached.  Force writes.
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     cfg = 0
     if "--config" in sys.argv:
         cfg = int(sys.argv[sys.argv.index("--config") + 1])

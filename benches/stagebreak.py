@@ -25,6 +25,9 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _cache if os.path.isdir(_cache) else "/tmp/alc_jax_cache",
 )
+# The tunnel defers real compiles, so local compile times sit under the
+# cache's default 1 s write threshold — force writes (see bench.main).
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
