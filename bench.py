@@ -376,14 +376,16 @@ def main() -> None:
     # remote Mosaic/XLA compiles; fresh compiles are written back to it.
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        cache if os.path.isdir(cache) else "/tmp/alc_jax_cache",
-    )
-    # The tunneled backend defers real compilation to the remote runtime,
-    # so locally-measured compile times sit under the persistent cache's
-    # default 1 s write threshold and NOTHING gets cached.  Force writes.
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    # jax.config.update, NOT env vars: the dev rig's sitecustomize imports
+    # jax at interpreter startup, so env set here is read too late and the
+    # cache silently stays "disabled/not initialized".  Threshold 0 because
+    # the tunnel defers real compilation — locally-measured compile times
+    # sit under the default 1 s write threshold and nothing would persist.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      cache if os.path.isdir(cache) else "/tmp/alc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     cfg = 0
     if "--config" in sys.argv:
         cfg = int(sys.argv[sys.argv.index("--config") + 1])

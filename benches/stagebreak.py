@@ -21,13 +21,15 @@ sys.path.insert(0, _REPO)
 # reuse the bench's persistent compile cache (fresh Mosaic/XLA compiles of
 # the 1080p programs take ~10 min through the dev tunnel otherwise)
 _cache = os.path.join(_REPO, ".jax_cache")
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
+# jax.config.update, NOT env vars: the rig's sitecustomize imports jax at
+# interpreter startup, so env set here arrives too late (see bench.main).
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
     _cache if os.path.isdir(_cache) else "/tmp/alc_jax_cache",
 )
-# The tunnel defers real compiles, so local compile times sit under the
-# cache's default 1 s write threshold — force writes (see bench.main).
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np
 
