@@ -31,8 +31,10 @@ ops/sparse_spec.py):
   The wire v3/v4 layout padded per 512-row BLOCK instead, which forced
   a serial lane-append chain through the whole block (measured 155 ms
   compact / most of 183 ms expand at 1080p×64 — the two largest stages
-  of the roundtrip).  Tiles share no state beyond a SCALAR row cursor,
-  so the only cross-tile dependency is a scalar add.  Rate cost of the
+  of the roundtrip).  Tiles share NO state at all: each tile's row
+  offset is an SMEM prepass value (tile_row_bases_from_*), so every
+  tile body is independent dataflow and the kernels unroll
+  DEFAULT_TILE_UNROLL tiles per loop step for ILP.  Rate cost of the
   finer padding: value rows grow by the per-tile ceil (≈ +6-9% value
   symbols at q=90 densities; the padding symbol 0 carries probability
   mass like every other padding, see alc3._table_hists).
@@ -76,6 +78,11 @@ TILE_ROWS = 8
 #: shape).
 DEFAULT_V_BLK = 4
 
+#: tiles handled per fori_loop step (per interleaved block chain) — with
+#: per-tile SMEM bases the tile bodies are fully independent, so the
+#: unroll multiplies the per-iteration ILP the scheduler can exploit.
+DEFAULT_TILE_UNROLL = 2
+
 __all__ = [
     "BLOCK_ROWS",
     "TILE_ROWS",
@@ -83,6 +90,8 @@ __all__ = [
     "block_value_rows",
     "plane_row_bases",
     "value_row_bases",
+    "tile_row_bases_from_symbols",
+    "tile_row_bases_from_bitmaps",
     "compact_pallas",
     "expand_pallas",
 ]
@@ -165,6 +174,43 @@ def value_row_bases(bitmaps: jnp.ndarray, p: int, krs,
     return vbase.reshape(-1).astype(jnp.int32), ch_rows
 
 
+def _tile_rel_bases(trows: jnp.ndarray) -> jnp.ndarray:
+    """(nc, nb, bm8) per-tile ceil rows → flat (nc·nb·bm8,) BLOCK-RELATIVE
+    value-row offsets (exclusive prefix within each block).  Each tile's
+    ceil is ≤ 8 rows and a block has bm8 tiles, so offsets are bounded by
+    8·(bm8-1) ≤ br-8 by construction — even for hostile bitmaps the
+    kernels' 8-row tile windows stay inside the staged br(+8) rows."""
+    rel = jnp.cumsum(trows, axis=-1) - trows
+    return rel.reshape(-1).astype(jnp.int32)
+
+
+def tile_row_bases_from_symbols(symbols: jnp.ndarray, p: int,
+                                br: int = BLOCK_ROWS) -> jnp.ndarray:
+    """Encode-side prepass: block-relative value-row offset of every
+    8-row tile, from the (nc, P) symbol planes.  Must agree with
+    :func:`block_value_rows`' ceil-per-tile rule exactly."""
+    nc = symbols.shape[0]
+    _, nb = block_geometry(p, br)
+    bm8 = br // TILE_ROWS
+    blk = TILE_ROWS * NG
+    cnt = jnp.sum(
+        (symbols.reshape(nc, nb * bm8, blk) != 0).astype(jnp.int32), axis=-1)
+    return _tile_rel_bases((-(-cnt // NG)).reshape(nc, nb, bm8))
+
+
+def tile_row_bases_from_bitmaps(bitmaps: jnp.ndarray, p: int,
+                                br: int = BLOCK_ROWS) -> jnp.ndarray:
+    """Decode-side prepass: same offsets, recovered from the packed
+    bitmaps (one bitmap byte-row = one tile)."""
+    nc = bitmaps.shape[0]
+    _, nb = block_geometry(p, br)
+    bm8 = br // TILE_ROWS
+    counts = jax.lax.population_count(
+        bitmaps.astype(jnp.uint8).reshape(nc, nb * bm8, NG)
+    ).astype(jnp.int32).sum(axis=-1)
+    return _tile_rel_bases((-(-counts // NG)).reshape(nc, nb, bm8))
+
+
 def _iotas():
     iota8_0 = jax.lax.broadcasted_iota(jnp.int32, (8, NG), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NG), 1)
@@ -195,8 +241,8 @@ def _row_ranks(bits8, ltT, lt8):
 # ── compact (encode side) ───────────────────────────────────────
 
 
-def _compact_kernel(v_blk, br,
-                    vbase_ref, sym_ref,
+def _compact_kernel(v_blk, br, u, skip_empty,
+                    vbase_ref, tbase_ref, sym_ref,
                     bm_ref, vals_hbm, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
     iota128_0, lane = win
@@ -208,9 +254,11 @@ def _compact_kernel(v_blk, br,
     # data region in the overlapped HBM write-out below.
     scratch[:, :] = jnp.zeros(scratch.shape, jnp.int32)
 
-    def one(v, g, cur):
-        # ``cur``: the block's value ROW cursor — tiles are row-aligned
-        # (wire v5), so the only cross-tile dependency is this scalar.
+    def one(v, g):
+        # ``cur``: the tile's value ROW offset within its block — an SMEM
+        # prepass value (tile_row_bases_from_symbols), NOT a carried
+        # cursor: tile bodies are fully independent dataflow.
+        cur = tbase_ref[0, 0, v * bm8 + g]
         rows = sym_ref[pl.ds(v * br + TILE_ROWS * g, 8), :]
         bits = (rows != 0).astype(jnp.int32)                   # (8,NG)
         # bitmap byte row: bit j = pixel row 8g+j
@@ -218,7 +266,12 @@ def _compact_kernel(v_blk, br,
         bm_ref[pl.ds(v * bm8 + g, 1), :] = byte
         tile_cnt = jnp.sum(bits)
 
-        @pl.when(tile_cnt > 0)
+        # branch-free mode: pl.when regions are scheduling barriers (each
+        # is its own basic block), so with skip_empty=False the tile body
+        # is straight-line code the scheduler can interleave across the
+        # u×v_blk independent tiles of a loop step.  An empty tile's acc
+        # is all zeros and its 8-row store at cur is exactly the zero
+        # padding the wire wants — unconditional execution is correct.
         def _scatter():
             rank, off = _row_ranks(bits, ltT, lt8)
             # the tile's padded value rows build entirely in registers:
@@ -249,19 +302,28 @@ def _compact_kernel(v_blk, br,
             for part in parts[1:]:
                 acc = acc + part
             # one aligned 8-row store; rows past this tile's ceil are
-            # zeros and the NEXT tile's store (sequential g) overwrites
-            # them — trailing zeros past the block's rows land in the
-            # next block's region and are overwritten by its write-out
-            # DMA (sequential block order below).
+            # zeros and the NEXT tile's store (program order over the
+            # overlapping dynamic windows) overwrites them — trailing
+            # zeros past the block's rows land in the next block's
+            # region and are overwritten by its write-out DMA
+            # (sequential block order below).
             scratch[pl.ds(v * (br + 8) + cur, 8), :] = acc
-        return cur + ((tile_cnt + NG - 1) >> 7)
 
-    def tile(g, curs):
-        # v_blk blocks advance together as independent chains (their op
-        # latencies interleave — the same V-batching as rans3_kernels).
-        return tuple(one(v, g, curs[v]) for v in range(v_blk))
+        if skip_empty:
+            pl.when(tile_cnt > 0)(_scatter)
+        else:
+            _scatter()
 
-    jax.lax.fori_loop(0, bm8, tile, (jnp.int32(0),) * v_blk)
+    def tile(g, _):
+        # u tiles × v_blk blocks per step, all independent dataflow (the
+        # compute chains interleave; only the overlapping scratch stores
+        # keep program order).
+        for k in range(u):
+            for v in range(v_blk):
+                one(v, g * u + k)
+        return 0
+
+    jax.lax.fori_loop(0, bm8 // u, tile, jnp.int32(0))
 
     # SEQUENTIAL write-out: consecutive blocks' value windows overlap
     # (block k's zero tail is block k+1's data region), so the DMAs must
@@ -276,7 +338,8 @@ def _compact_kernel(v_blk, br,
         dma.wait()
 
 
-@partial(jax.jit, static_argnames=("p", "kr", "br", "v_blk", "interpret"))
+@partial(jax.jit, static_argnames=("p", "kr", "br", "v_blk", "unroll",
+                                   "skip_empty", "interpret"))
 def compact_pallas(
     symbols: jnp.ndarray,
     vbase: jnp.ndarray,
@@ -285,6 +348,8 @@ def compact_pallas(
     kr,
     br: int = BLOCK_ROWS,
     v_blk: int = DEFAULT_V_BLK,
+    unroll: int = DEFAULT_TILE_UNROLL,
+    skip_empty: bool = True,
     interpret: bool = False,
 ):
     """Sparse compact: (nc, P) int32/uint8 symbols → (bitmaps, values).
@@ -302,12 +367,16 @@ def compact_pallas(
     nc = symbols.shape[0]
     krs = _norm_krs(kr, nc)
     pr, nb = block_geometry(p, br)
+    bm8 = br // TILE_ROWS
     if nb % v_blk:
         raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
     if (v_blk * br // 8) % 8:
         raise ValueError("v_blk*br/8 must be a multiple of 8 (TPU sublanes)")
+    if bm8 % unroll:
+        raise ValueError(f"tiles per block ({bm8}) % unroll ({unroll})")
     _, total_rows = plane_row_bases(krs, br)
-    kernel = partial(_compact_kernel, v_blk, br)
+    tbase = tile_row_bases_from_symbols(symbols, p, br)
+    kernel = partial(_compact_kernel, v_blk, br, unroll, skip_empty)
     bm, vals = pl.pallas_call(
         kernel,
         out_shape=(
@@ -317,6 +386,10 @@ def compact_pallas(
         grid=(nc * nb // v_blk,),
         in_specs=[
             pl.BlockSpec((1, nc * nb), lambda s: (0, 0),
+                         memory_space=pltpu.SMEM),
+            # 3-D so the BLOCKED last-two dims equal the array dims (the
+            # Mosaic SMEM block rule); the grid steps over the leading dim.
+            pl.BlockSpec((1, 1, v_blk * bm8), lambda s: (s, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((v_blk * br, NG), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
@@ -334,6 +407,7 @@ def compact_pallas(
         interpret=interpret,
     )(
         vbase.astype(jnp.int32).reshape(1, nc * nb),
+        tbase.reshape(nc * nb // v_blk, 1, v_blk * bm8),
         symbols.astype(jnp.int32).reshape(nc * pr, NG),
     )
     return bm.reshape(nc, p // 8), vals
@@ -342,8 +416,8 @@ def compact_pallas(
 # ── expand (decode side) ────────────────────────────────────────
 
 
-def _expand_kernel(v_blk, br,
-                   vbase_ref, bm_ref, vals_hbm,
+def _expand_kernel(v_blk, br, u, skip_empty,
+                   vbase_ref, tbase_ref, bm_ref, vals_hbm,
                    sym_ref, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
     slot = pl.program_id(0)
@@ -370,18 +444,22 @@ def _expand_kernel(v_blk, br,
 
     iota128_0, lane = win
 
-    def one(v, g, cur):
-        # ``cur``: block-local value ROW cursor (tiles row-aligned, v5).
+    def one(v, g):
+        # ``cur``: the tile's value ROW offset within its block — an SMEM
+        # prepass value (tile_row_bases_from_bitmaps), NOT a carried
+        # cursor: every tile body is independent dataflow.
+        cur = tbase_ref[0, 0, v * bm8 + g]
         byte = bm_ref[pl.ds(v * bm8 + g, 1), :]                # (1,NG)
         bits = (byte >> iota8_0) & 1                           # (8,NG)
         tile_cnt = jnp.sum(bits)
 
-        @pl.when(tile_cnt == 0)
+        # branch-free mode: see _compact_kernel — an empty tile's masked
+        # gather writes exactly the zero rows, so unconditional execution
+        # is correct and keeps the tile bodies schedulable as one block.
         def _zeros():
             sym_ref[pl.ds(v * br + TILE_ROWS * g, 8), :] = jnp.zeros(
                 (8, NG), jnp.int32)
 
-        @pl.when(tile_cnt > 0)
         def _gather():
             rank, off = _row_ranks(bits, ltT, lt8)
             # the tile's value rows are one aligned (8,128) window; each
@@ -395,17 +473,26 @@ def _expand_kernel(v_blk, br,
                 out = _gather2d(win8, pj >> 7, pj & (NG - 1))
                 sym_ref[pl.ds(v * br + TILE_ROWS * g + j, 1), :] = (
                     jnp.where(mask, out, 0))
-        return cur + ((tile_cnt + NG - 1) >> 7)
 
-    def tile(g, curs):
-        # v_blk blocks advance together as independent chains (the same
-        # V-batching as rans3_kernels).
-        return tuple(one(v, g, curs[v]) for v in range(v_blk))
+        if skip_empty:
+            pl.when(tile_cnt == 0)(_zeros)
+            pl.when(tile_cnt > 0)(_gather)
+        else:
+            _gather()
 
-    jax.lax.fori_loop(0, bm8, tile, (jnp.int32(0),) * v_blk)
+    def tile(g, _):
+        # u tiles × v_blk blocks per step, all independent dataflow (the
+        # same V-batching as rans3_kernels, multiplied by the unroll).
+        for k in range(u):
+            for v in range(v_blk):
+                one(v, g * u + k)
+        return 0
+
+    jax.lax.fori_loop(0, bm8 // u, tile, jnp.int32(0))
 
 
-@partial(jax.jit, static_argnames=("p", "kr", "br", "v_blk", "interpret"))
+@partial(jax.jit, static_argnames=("p", "kr", "br", "v_blk", "unroll",
+                                   "skip_empty", "interpret"))
 def expand_pallas(
     bitmaps: jnp.ndarray,
     values: jnp.ndarray,
@@ -415,6 +502,8 @@ def expand_pallas(
     kr,
     br: int = BLOCK_ROWS,
     v_blk: int = DEFAULT_V_BLK,
+    unroll: int = DEFAULT_TILE_UNROLL,
+    skip_empty: bool = True,
     interpret: bool = False,
 ):
     """Sparse expand: (bitmaps (nc, P/8), values (sum(kr)+nc·br, 128)) →
@@ -426,21 +515,29 @@ def expand_pallas(
     nc = bitmaps.shape[0]
     krs = _norm_krs(kr, nc)
     pr, nb = block_geometry(p, br)
+    bm8 = br // TILE_ROWS
     if nb % v_blk:
         raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
     if (v_blk * br // 8) % 8:
         raise ValueError("v_blk*br/8 must be a multiple of 8 (TPU sublanes)")
+    if bm8 % unroll:
+        raise ValueError(f"tiles per block ({bm8}) % unroll ({unroll})")
     _, total_rows = plane_row_bases(krs, br)
     if values.shape != (total_rows, NG):
         raise ValueError(
             f"values shape {values.shape} != {(total_rows, NG)}")
-    kernel = partial(_expand_kernel, v_blk, br)
+    tbase = tile_row_bases_from_bitmaps(bitmaps, p, br)
+    kernel = partial(_expand_kernel, v_blk, br, unroll, skip_empty)
     sym = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nc * pr, NG), jnp.int32),
         grid=(nc * nb // v_blk,),
         in_specs=[
             pl.BlockSpec((1, nc * nb), lambda s: (0, 0),
+                         memory_space=pltpu.SMEM),
+            # 3-D so the BLOCKED last-two dims equal the array dims (the
+            # Mosaic SMEM block rule); the grid steps over the leading dim.
+            pl.BlockSpec((1, 1, v_blk * bm8), lambda s: (s, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((v_blk * br // 8, NG), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
@@ -456,6 +553,7 @@ def expand_pallas(
         interpret=interpret,
     )(
         vbase.astype(jnp.int32).reshape(1, nc * nb),
+        tbase.reshape(nc * nb // v_blk, 1, v_blk * bm8),
         bitmaps.astype(jnp.int32).reshape(nc * pr // 8, NG),
         values.astype(jnp.int32),
     )

@@ -15,9 +15,15 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
+
+# jax.config, not env: the rig's sitecustomize imports jax at interpreter
+# startup so env vars here arrive too late (see bench.main).
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def _sync(x):
@@ -67,6 +73,10 @@ def main():
     _ = np.asarray(segs[0, 0, 0])
     print("warm", file=sys.stderr, flush=True)
 
+    if "--sparse-only" in sys.argv:
+        _sparse_sweep(rng, small)
+        return
+
     streams8, counts8 = encode_words_pallas(segs, freqs, cums, v_seg=8)
     for v in (2, 4, 8, 16):
         if n_seg % v:
@@ -81,6 +91,17 @@ def main():
             st, c, freqs, cums, s_seg=s_seg, v_seg=vv), streams8, counts8)
         print(f"decode v_seg={v:2d}  {n / t_d / 1e6:7.0f} Msym/s", flush=True)
 
+    _sparse_sweep(rng, small)
+
+
+def _sparse_sweep(rng, small):
+    import jax.numpy as jnp
+
+    from alice_codec_tpu.ops.pallas.sparse_kernels import (
+        BLOCK_ROWS, block_value_rows, compact_pallas, expand_pallas,
+        value_row_bases)
+    from alice_codec_tpu.ops.sparse_spec import pack_bitmap
+
     nb = 8 if small else 128
     p = nb * BLOCK_ROWS * 128
     sp = np.where(rng.random((3, p)) < 0.85, 0,
@@ -88,25 +109,35 @@ def main():
     sp_j = jnp.asarray(sp)
     kr = int(np.asarray(block_value_rows(sp_j)).max()) + 8
     kr = -(-kr // 8) * 8
-    from alice_codec_tpu.ops.sparse_spec import pack_bitmap
 
     bm = jnp.asarray(np.stack([pack_bitmap(sp[c]) for c in range(3)]))
     vbase, _ = value_row_bases(bm, p, kr)
     bms, vals = compact_pallas(sp_j, vbase, p=p, kr=kr, v_blk=4)
-    for v in (1, 2, 4, 8):
+    for v in (1, 2, 4, 8, 16):
         if nb % v:
             continue
         t_c = _time(lambda s, vv=v: compact_pallas(
             s, vbase, p=p, kr=kr, v_blk=vv), sp_j)
         print(f"compact v_blk={v:2d}  {3 * p / t_c / 1e6:7.0f} Msym/s",
               flush=True)
-    for v in (1, 2, 4, 8):
+    for v in (1, 2, 4, 8, 16):
         if nb % v:
             continue
         t_x = _time(lambda b, vv, vv2=v: expand_pallas(
             b, vv, vbase, p=p, kr=kr, v_blk=vv2), bms, vals)
         print(f"expand  v_blk={v:2d}  {3 * p / t_x / 1e6:7.0f} Msym/s",
               flush=True)
+    for se in (True, False):
+        for un in (1, 2, 4, 8):
+            t_c = _time(lambda s, uu=un, ss=se: compact_pallas(
+                s, vbase, p=p, kr=kr, unroll=uu, skip_empty=ss), sp_j)
+            print(f"compact skip={int(se)} u={un}  "
+                  f"{3 * p / t_c / 1e6:7.0f} Msym/s", flush=True)
+            t_x = _time(lambda b, vv, uu=un, ss=se: expand_pallas(
+                b, vv, vbase, p=p, kr=kr, unroll=uu, skip_empty=ss),
+                bms, vals)
+            print(f"expand  skip={int(se)} u={un}  "
+                  f"{3 * p / t_x / 1e6:7.0f} Msym/s", flush=True)
 
 
 if __name__ == "__main__":
