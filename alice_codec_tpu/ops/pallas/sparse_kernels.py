@@ -175,13 +175,18 @@ def value_row_bases(bitmaps: jnp.ndarray, p: int, krs,
 
 
 def _tile_rel_bases(trows: jnp.ndarray) -> jnp.ndarray:
-    """(nc, nb, bm8) per-tile ceil rows → flat (nc·nb·bm8,) BLOCK-RELATIVE
-    value-row offsets (exclusive prefix within each block).  Each tile's
-    ceil is ≤ 8 rows and a block has bm8 tiles, so offsets are bounded by
-    8·(bm8-1) ≤ br-8 by construction — even for hostile bitmaps the
-    kernels' 8-row tile windows stay inside the staged br(+8) rows."""
+    """(nc, nb, bm8) per-tile ceil rows → flat (nc·nb·bm8,) PACKED tile
+    descriptors: ``(rows << 16) | base`` where ``base`` is the tile's
+    BLOCK-RELATIVE value-row offset (exclusive prefix within each block)
+    and ``rows`` its ceil row count.  Each tile's ceil is ≤ 8 rows and a
+    block has bm8 tiles, so bases are bounded by 8·(bm8-1) ≤ br-8 by
+    construction — even for hostile bitmaps the kernels' tile windows
+    stay inside the staged br(+8) rows.  Packing both scalars into one
+    SMEM word keeps ALL per-tile control scalar-side: the kernels never
+    move a vector reduction into a scalar register."""
     rel = jnp.cumsum(trows, axis=-1) - trows
-    return rel.reshape(-1).astype(jnp.int32)
+    packed = (trows << 16) | rel
+    return packed.reshape(-1).astype(jnp.int32)
 
 
 def tile_row_bases_from_symbols(symbols: jnp.ndarray, p: int,
@@ -241,7 +246,7 @@ def _row_ranks(bits8, ltT, lt8):
 # ── compact (encode side) ───────────────────────────────────────
 
 
-def _compact_kernel(v_blk, br, u, skip_empty,
+def _compact_kernel(v_blk, br, u, skip_empty, algo,
                     vbase_ref, tbase_ref, sym_ref,
                     bm_ref, vals_hbm, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
@@ -255,23 +260,46 @@ def _compact_kernel(v_blk, br, u, skip_empty,
     scratch[:, :] = jnp.zeros(scratch.shape, jnp.int32)
 
     def one(v, g):
-        # ``cur``: the tile's value ROW offset within its block — an SMEM
-        # prepass value (tile_row_bases_from_symbols), NOT a carried
-        # cursor: tile bodies are fully independent dataflow.
-        cur = tbase_ref[0, 0, v * bm8 + g]
+        # per-tile descriptor from the SMEM prepass: value-row offset
+        # within the block (low 16 bits) and ceil row count (high bits).
+        # ALL control scalars come from SMEM — no vector reduction ever
+        # crosses into a scalar register.
+        packed = tbase_ref[0, 0, v * bm8 + g]
+        cur = packed & 0xFFFF
+        trows = packed >> 16
         rows = sym_ref[pl.ds(v * br + TILE_ROWS * g, 8), :]
         bits = (rows != 0).astype(jnp.int32)                   # (8,NG)
         # bitmap byte row: bit j = pixel row 8g+j
         byte = jnp.sum(bits << iota8_0, axis=0, keepdims=True)
         bm_ref[pl.ds(v * bm8 + g, 1), :] = byte
-        tile_cnt = jnp.sum(bits)
 
-        # branch-free mode: pl.when regions are scheduling barriers (each
-        # is its own basic block), so with skip_empty=False the tile body
-        # is straight-line code the scheduler can interleave across the
-        # u×v_blk independent tiles of a loop step.  An empty tile's acc
-        # is all zeros and its 8-row store at cur is exactly the zero
-        # padding the wire wants — unconditional execution is correct.
+        def _search():
+            # GATHER-based compaction (the rans3 lesson: Mosaic dynamic
+            # gathers beat one-hot MXU scatters).  For each OUTPUT value
+            # row r < trows, each lane o = 128r+l pulls its source
+            # element with a branchless binary search over the tile's
+            # inclusive global prefix cg (row-major monotone): the o-th
+            # nonzero lives at flat index #{cg ≤ o}.  Work scales with
+            # the tile's VALUE rows (≈ density·8), not its 8 pixel rows.
+            rank, off = _row_ranks(bits, ltT, lt8)
+            cg = off + rank + bits                # (8,NG) inclusive prefix
+            cnt_v = cg[7:8, NG - 1 :]             # (1,1) total, vector side
+            for r in range(8):
+                def _row(r=r):
+                    o = lane + r * NG
+                    inv = jnp.zeros((1, NG), jnp.int32)
+                    for step in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+                        cand = inv + (step - 1)
+                        cc = jnp.minimum(cand, 8 * NG - 1)
+                        val = _gather2d(cg, cc >> 7, cc & (NG - 1))
+                        ok = jnp.logical_and(val <= o, cand < 8 * NG)
+                        inv = jnp.where(ok, inv + step, inv)
+                    iv = jnp.minimum(inv, 8 * NG - 1)
+                    out = _gather2d(rows, iv >> 7, iv & (NG - 1))
+                    scratch[pl.ds(v * (br + 8) + cur + r, 1), :] = (
+                        jnp.where(o < cnt_v, out, 0))
+                pl.when(r < trows)(_row)
+
         def _scatter():
             rank, off = _row_ranks(bits, ltT, lt8)
             # the tile's padded value rows build entirely in registers:
@@ -309,10 +337,11 @@ def _compact_kernel(v_blk, br, u, skip_empty,
             # (sequential block order below).
             scratch[pl.ds(v * (br + 8) + cur, 8), :] = acc
 
+        body = _search if algo == "search" else _scatter
         if skip_empty:
-            pl.when(tile_cnt > 0)(_scatter)
+            pl.when(trows > 0)(body)
         else:
-            _scatter()
+            body()
 
     def tile(g, _):
         # u tiles × v_blk blocks per step, all independent dataflow (the
@@ -339,7 +368,7 @@ def _compact_kernel(v_blk, br, u, skip_empty,
 
 
 @partial(jax.jit, static_argnames=("p", "kr", "br", "v_blk", "unroll",
-                                   "skip_empty", "interpret"))
+                                   "skip_empty", "algo", "interpret"))
 def compact_pallas(
     symbols: jnp.ndarray,
     vbase: jnp.ndarray,
@@ -350,6 +379,7 @@ def compact_pallas(
     v_blk: int = DEFAULT_V_BLK,
     unroll: int = DEFAULT_TILE_UNROLL,
     skip_empty: bool = True,
+    algo: str = "dot",
     interpret: bool = False,
 ):
     """Sparse compact: (nc, P) int32/uint8 symbols → (bitmaps, values).
@@ -361,6 +391,15 @@ def compact_pallas(
     entropy coding (alc3 does).  ``kr`` = value capacity rows per plane
     (int, or a per-plane tuple); ``br`` = KERNEL block rows (processing
     granularity — the wire pads values per TILE_ROWS tile).
+
+    ``algo`` picks the compaction strategy: ``"dot"`` (default) builds
+    each tile's padded value rows with the one-hot register-append chain;
+    ``"search"`` inverts the dataflow — every OUTPUT value lane
+    binary-searches the tile's inclusive prefix for its source element,
+    so work scales with value rows (density·8) instead of pixel rows.
+    Measured on v5e at q=90 density the searches' 10 dependent gather
+    rounds lose to the dot chain (294 vs 656 Msym/s) — "dot" stays the
+    default; "search" is kept for very-sparse regimes (density ≪ 1/8).
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
@@ -376,7 +415,9 @@ def compact_pallas(
         raise ValueError(f"tiles per block ({bm8}) % unroll ({unroll})")
     _, total_rows = plane_row_bases(krs, br)
     tbase = tile_row_bases_from_symbols(symbols, p, br)
-    kernel = partial(_compact_kernel, v_blk, br, unroll, skip_empty)
+    if algo not in ("search", "dot"):
+        raise ValueError(f"unknown compact algo {algo!r}")
+    kernel = partial(_compact_kernel, v_blk, br, unroll, skip_empty, algo)
     bm, vals = pl.pallas_call(
         kernel,
         out_shape=(
@@ -445,13 +486,15 @@ def _expand_kernel(v_blk, br, u, skip_empty,
     iota128_0, lane = win
 
     def one(v, g):
-        # ``cur``: the tile's value ROW offset within its block — an SMEM
-        # prepass value (tile_row_bases_from_bitmaps), NOT a carried
-        # cursor: every tile body is independent dataflow.
-        cur = tbase_ref[0, 0, v * bm8 + g]
+        # per-tile descriptor from the SMEM prepass
+        # (tile_row_bases_from_bitmaps): value-row offset within the
+        # block (low 16 bits), ceil row count (high bits).  All control
+        # scalars are SMEM-side — no vector reduction crosses to sregs.
+        packed = tbase_ref[0, 0, v * bm8 + g]
+        cur = packed & 0xFFFF
+        trows = packed >> 16
         byte = bm_ref[pl.ds(v * bm8 + g, 1), :]                # (1,NG)
         bits = (byte >> iota8_0) & 1                           # (8,NG)
-        tile_cnt = jnp.sum(bits)
 
         # branch-free mode: see _compact_kernel — an empty tile's masked
         # gather writes exactly the zero rows, so unconditional execution
@@ -465,18 +508,20 @@ def _expand_kernel(v_blk, br, u, skip_empty,
             # the tile's value rows are one aligned (8,128) window; each
             # pixel row is a 2-D dynamic gather at tile-local positions
             # off_j + rank — no serial chain, the 8 gathers and the
-            # v_blk block chains all overlap.
+            # v_blk block chains all overlap.  off stays vector-side
+            # ((8,1) broadcast), never a scalar extract.
             win8 = scratch[pl.ds(v * (br + 8) + cur, 8), :]
             for j in range(8):
                 mask = bits[j : j + 1, :] == 1
-                pj = jnp.where(mask, off[j, 0] + rank[j : j + 1, :], 0)
+                pj = jnp.where(mask, off[j : j + 1, :1]
+                               + rank[j : j + 1, :], 0)
                 out = _gather2d(win8, pj >> 7, pj & (NG - 1))
                 sym_ref[pl.ds(v * br + TILE_ROWS * g + j, 1), :] = (
                     jnp.where(mask, out, 0))
 
         if skip_empty:
-            pl.when(tile_cnt == 0)(_zeros)
-            pl.when(tile_cnt > 0)(_gather)
+            pl.when(trows == 0)(_zeros)
+            pl.when(trows > 0)(_gather)
         else:
             _gather()
 

@@ -63,6 +63,32 @@ def test_compact_expand_roundtrip_matches_spec(density):
         np.asarray(out).astype(np.uint8), syms)
 
 
+@pytest.mark.parametrize("density", [0.0, 0.05, 0.5])
+def test_compact_search_algo_matches_dot(density):
+    """The gather-search compaction (algo="search") must produce the same
+    bitmaps and used value rows as the default dot chain."""
+    br = 64
+    p = 2 * br * 128
+    rng = np.random.default_rng(11)
+    syms = np.stack([_channel_syms(p, d, rng)
+                     for d in (density, density / 2, density)])
+    bm_spec = np.stack([spec.pack_bitmap(syms[c]) for c in range(3)])
+    need = max(spec.value_rows_needed(syms[c]) for c in range(3))
+    kr = max(-(-need // 8) * 8, 8)
+    vbase, ch_rows = value_row_bases(jnp.asarray(bm_spec), p, kr, br=br)
+    bm_d, vals_d = compact_pallas(
+        jnp.asarray(syms), vbase, p=p, kr=kr, br=br, v_blk=2, algo="dot")
+    bm_s, vals_s = compact_pallas(
+        jnp.asarray(syms), vbase, p=p, kr=kr, br=br, v_blk=2, algo="search")
+    np.testing.assert_array_equal(np.asarray(bm_s), np.asarray(bm_d))
+    vd = np.asarray(vals_d).reshape(3, kr + br, 128)
+    vs = np.asarray(vals_s).reshape(3, kr + br, 128)
+    for c in range(3):
+        used = int(ch_rows[c])
+        np.testing.assert_array_equal(vs[c, :used], vd[c, :used],
+                                      err_msg=f"channel {c}")
+
+
 def test_per_plane_capacities_roundtrip():
     """Planes with very different densities get independent value
     capacities (chroma ≪ luma); compact→expand must stay exact."""
