@@ -108,7 +108,7 @@ _MAGIC3 = b"ALC3"
 #: wavelet.forward_3d_inter), a fixed permutation of the v3 symbol
 #: ordering; v3: sparse planes moved to the block-major layout of
 #: ops/pallas/sparse_kernels.py.
-_VERSION3 = 5
+_VERSION3 = 6  # v6: PROB_BITS 12 → 11 (ops/rans_word.py rationale)
 #: histogram subsampling stride for ALC3 table seeding (see
 #: pipeline._hist_sample) — the full-plane one-hot histogram was the
 #: single biggest transform-stage item at 1080p (98 ms measured).  The

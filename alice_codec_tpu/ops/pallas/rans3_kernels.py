@@ -64,9 +64,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PROB_BITS = 12
-PROB_SCALE = 1 << PROB_BITS
-WORD_L = 1 << 16
+from ..rans_word import PROB_BITS, PROB_SCALE, WORD_L
+
+#: emit ⇔ (x >> _EMIT_SHIFT) ≥ f (see ops/rans_word.py duality note)
+_EMIT_SHIFT = 32 - PROB_BITS
 #: lanes per segment — fixed to the TPU lane width.
 NG = 128
 #: default segments processed per grid slot (see module docstring).
@@ -144,6 +145,24 @@ def _gather2d(block8, row, lane):
         g, jnp.broadcast_to(row, (8, NG)), axis=0)[0:1, :]
 
 
+def _gather2d_rows(block, row, lane, n_rows):
+    """_gather2d generalized to an (n_rows, 128) block (n_rows a multiple
+    of 8): per-(8,128)-vreg gather pairs with an explicit select tree
+    across the n_rows/8 vregs.  Mosaic's dynamic sublane gather is
+    single-vreg ("Multiple source vregs along gather dimension" on a
+    direct 32-row take_along_axis), but the per-vreg pairs are mutually
+    independent — the scheduler overlaps them, so the tree adds ops, not
+    serial depth."""
+    if n_rows == 8:
+        return _gather2d(block, row, lane)
+    sub = row & 7
+    out = None
+    for k in range(n_rows // 8):
+        g = _gather2d(block[8 * k : 8 * (k + 1), :], sub, lane)
+        out = g if out is None else jnp.where((row >> 3) == k, g, out)
+    return out
+
+
 def _win_read(stream_ref, row_base, n_rows, base, pos, mask):
     """Read per-lane words from a window of one segment's stream.
 
@@ -169,7 +188,7 @@ def _win_read(stream_ref, row_base, n_rows, base, pos, mask):
 
 
 def _decode_kernel(v_seg, s_seg, w_rows,
-                   counts_ref, stream_ref, lut_ref, fc_ref, sym_ref):
+                   counts_ref, stream_ref, lut_ref, sym_ref):
     # v_seg segments decode in one slot as INDEPENDENT dataflow chains
     # (they share no data, so the scheduler interleaves their op
     # latencies — the point of V-batching).
@@ -193,11 +212,11 @@ def _decode_kernel(v_seg, s_seg, w_rows,
     @pl.when(slot_active)
     def _decode_slot():
         _decode_slot_body(v_seg, s_seg, w_rows, cnts, stream_ref,
-                          lut_ref, fc_ref, sym_ref, win, lane_iota, ltT)
+                          lut_ref, sym_ref, win, lane_iota, ltT)
 
 
 def _decode_slot_body(v_seg, s_seg, w_rows, cnts, stream_ref,
-                      lut_ref, fc_ref, sym_ref, win, lane_iota, ltT):
+                      lut_ref, sym_ref, win, lane_iota, ltT):
     states = []
     curs = []
     ones = lane_iota >= 0
@@ -214,25 +233,20 @@ def _decode_slot_body(v_seg, s_seg, w_rows, cnts, stream_ref,
 
     def one(v, j, x, cur):
         slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)  # (1,128)
-        # slot → symbol via the packed cum_to_sym LUT: 4096 u8 entries,
-        # 4 per i32 word on (8,128) rows — one 2-D dynamic gather + a
-        # per-lane byte extract (replaced the two-level cum search:
-        # compare/one-hot/dot/max chains, 3 MXU dots per step).
-        word = _gather2d(lut_ref[:, :], slot >> 9, (slot >> 2) & (NG - 1))
-        sym = (word >> ((slot & 3) << 3)) & 255
-        sym_ref[v * s_seg + j, :] = sym[0, :]
-        # f/c lookup from the (8,128) gather rows [f_lo|f_hi|c_lo|c_hi]
-        fcg = jnp.take_along_axis(
-            fc_ref[:, :], jnp.broadcast_to(sym & (NG - 1), (8, NG)),
-            axis=1)
-        hi = (sym >= NG).astype(jnp.int32)
-        f = jnp.take_along_axis(
-            fcg, jnp.broadcast_to(hi, (8, NG)), axis=0
-        )[0:1, :].astype(jnp.uint32)
-        c = jnp.take_along_axis(
-            fcg, jnp.broadcast_to(2 + hi, (8, NG)), axis=0
-        )[0:1, :].astype(jnp.uint32)
-        x = f * (x >> PROB_BITS) + slot.astype(jnp.uint32) - c
+        # slot → (symbol, freq, bias) in ONE fused-LUT lookup: entry
+        # e[slot] = sym | (f−1)<<8 | (slot − cum[sym])<<(8+PROB_BITS)
+        # (all three fields fit i32 at PROB_BITS=11 — f ≤ 2048, bias < f).
+        # Round 3 chained a packed cum_to_sym gather into a
+        # symbol-indexed f/c gather; fusing per SLOT removes the
+        # dependent second gather group from the serial chain (the state
+        # update needs only f and bias, src/rans.rs:351-371 rewritten as
+        # x' = f·(x>>PROB_BITS) + (slot − c)).
+        e = _gather2d_rows(lut_ref[:, :], slot >> 7, slot & (NG - 1),
+                           PROB_SCALE // NG)
+        sym_ref[v * s_seg + j, :] = (e[0, :] & 255)
+        f = (((e >> 8) & (PROB_SCALE - 1)) + 1).astype(jnp.uint32)
+        bias = ((e >> (8 + PROB_BITS)) & (PROB_SCALE - 1)).astype(jnp.uint32)
+        x = f * (x >> PROB_BITS) + bias
         # ≤1 refill per lane (16-bit renorm): sequential window read, lanes
         # ranked by an exclusive prefix sum over the need flags.
         need = x < jnp.uint32(WORD_L)
@@ -310,21 +324,19 @@ def decode_words_pallas(
     slots_per_table = seg_per_table // v_seg
 
     c32 = cums.astype(jnp.int32)
-    # packed cum_to_sym LUT: lut[slot] = #(cums ≤ slot) − 1, 4 u8 syms
-    # per i32 word → (n_tables·8, 128) gather rows
+    f32 = freqs.astype(jnp.int32)
+    # fused per-slot LUT: e[slot] = sym | (f−1)<<8 | (slot − cum[sym])<<20
+    # — one gather serves the whole decode step (see _decode_slot_body).
+    # (n_tables·32, 128) gather rows.
     slots = jnp.arange(PROB_SCALE, dtype=jnp.int32)
-    lut8 = (jax.vmap(
-        lambda cr: jnp.searchsorted(cr, slots, side="right") - 1
-    )(c32)).astype(jnp.int32).reshape(n_tables, PROB_SCALE // 4, 4)
-    lut = (lut8[..., 0] | (lut8[..., 1] << 8) | (lut8[..., 2] << 16)
-           | (lut8[..., 3] << 24)).reshape(n_tables * 8, 128)
-    # (8,128) f/c gather rows per table [f_lo|f_hi|c_lo|c_hi|0…] (same
-    # layout as the encoder's; padded to the native 8-sublane gather)
-    fc = jnp.concatenate([
-        freqs.astype(jnp.int32).reshape(n_tables, 2, 128),
-        c32.reshape(n_tables, 2, 128),
-        jnp.zeros((n_tables, 4, 128), jnp.int32),
-    ], axis=1).reshape(n_tables * 8, 128)
+
+    def _entry(fr, cr):
+        sym = jnp.searchsorted(cr, slots, side="right") - 1
+        return (sym | ((fr[sym] - 1) << 8)
+                | ((slots - cr[sym]) << (8 + PROB_BITS)))
+
+    lut = jax.vmap(_entry)(f32, c32).reshape(
+        n_tables * (PROB_SCALE // NG), 128)
 
     kernel = partial(_decode_kernel, v_seg, s_seg, w_rows)
     sym = pl.pallas_call(
@@ -337,9 +349,7 @@ def decode_words_pallas(
             pl.BlockSpec((v_seg * w_rows, 128),
                          lambda t, s: (t * slots_per_table + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda t, s: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda t, s: (t, 0),
+            pl.BlockSpec((PROB_SCALE // NG, 128), lambda t, s: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -351,7 +361,7 @@ def decode_words_pallas(
     )(
         counts.astype(jnp.int32).reshape(1, n_streams),
         streams.reshape(n_streams * w_rows, 128),
-        lut, fc,
+        lut,
     )
     return sym.reshape(n_streams, s_seg, 128)
 
@@ -417,21 +427,14 @@ def _encode_kernel(v_seg, s_seg, w_rows,
 
     def one(v, i, x, cur, w0):
         row = sym_ref[pl.ds(v * s_seg + (s_seg - 1 - i), 1), :]  # LIFO rows
-        # (freq | cum) lookup from the (8,128) gather rows [f_lo | f_hi
-        # | c_lo | c_hi | 0…]: one lane gather + two sublane gathers
-        # (replaced the one-hot + hi/lo-split MXU dot pair — fewer ops,
-        # exact int32, no bf16 constraints).
-        fcg = jnp.take_along_axis(
-            fc_ref[:, :], jnp.broadcast_to(row & (NG - 1), (8, NG)),
-            axis=1)
-        hi = (row >= NG).astype(jnp.int32)
-        f = jnp.take_along_axis(
-            fcg, jnp.broadcast_to(hi, (8, NG)), axis=0
-        )[0:1, :].astype(jnp.uint32)
-        c = jnp.take_along_axis(
-            fcg, jnp.broadcast_to(2 + hi, (8, NG)), axis=0
-        )[0:1, :].astype(jnp.uint32)
-        emit = (x >> 20) >= f
+        # (freq | cum) in ONE fused lookup: fc[sym] = (f−1)<<PROB_BITS | c
+        # (f ≤ 2048 and c < 2048 both fit at PROB_BITS=11) — a single
+        # gather pair on the (8,128)-padded 2-row table replaces round
+        # 3's lane gather + two dependent sublane gathers.
+        e = _gather2d(fc_ref[:, :], row >> 7, row & (NG - 1))
+        f = (((e >> PROB_BITS) & (PROB_SCALE - 1)) + 1).astype(jnp.uint32)
+        c = (e & (PROB_SCALE - 1)).astype(jnp.uint32)
+        emit = (x >> _EMIT_SHIFT) >= f
         w = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
         rank = jax.lax.dot_general(
             emit.astype(jnp.bfloat16), ltT, (((1,), (0,)), ((), ())),
@@ -529,14 +532,14 @@ def encode_words_pallas(
         v_seg *= 2
     slots_per_table = seg_per_table // v_seg
 
-    # (8,128) i32 gather rows per table: [f_lo128 | f_hi128 | c_lo128 |
-    # c_hi128 | 0…] (lo/hi = symbol < 128 / ≥ 128) — the kernel looks
-    # values up with 2-D dynamic gathers at the native 8-sublane shape
-    fc = jnp.concatenate([
-        freqs.astype(jnp.int32).reshape(n_tables, 2, 128),
-        cums.astype(jnp.int32).reshape(n_tables, 2, 128),
-        jnp.zeros((n_tables, 4, 128), jnp.int32),
-    ], axis=1).reshape(n_tables * 8, 128)
+    # (8,128) i32 gather rows per table: rows 0-1 hold the fused
+    # (f−1)<<PROB_BITS | c entries for symbols 0-127 / 128-255 (rows 2-7
+    # pad to the native 8-sublane gather shape)
+    packed = (((freqs.astype(jnp.int32) - 1) << PROB_BITS)
+              | cums.astype(jnp.int32)).reshape(n_tables, 2, 128)
+    fc = jnp.concatenate(
+        [packed, jnp.zeros((n_tables, 6, 128), jnp.int32)], axis=1
+    ).reshape(n_tables * 8, 128)
 
     kernel = partial(_encode_kernel, v_seg, s_seg, w_rows)
     streams, counts = pl.pallas_call(

@@ -41,19 +41,33 @@ starts at ``n_emit`` and moves DOWN: step j's k words occupy
 ``cursor-k+r``.  A valid stream ends with every lane back at ``WORD_L``
 and the cursor at 0 — the final-state invariant callers may verify.
 
-State math (PROB_BITS=12; same 256-bin histograms and sanitized
-normalization as `.alc`/ALC2 — see FrequencyTable.from_histogram):
+State math (PROB_BITS=11 since wire v6; 256-bin histograms with the same
+sanitized normalization SHAPE as `.alc`/ALC2 — see
+FrequencyTable.from_histogram — but scaled to PROB_SCALE=2048):
 
-* encode (LIFO): ``if (x >> 20) >= f: emit u16 = x & 0xFFFF; x >>= 16``
-  then ``x = (x // f) << 12 | (x % f + cum)``;
-* decode: ``slot = x & 4095; x = f·(x >> 12) + slot - cum``
+* encode (LIFO): ``if (x >> (32-PROB_BITS)) >= f: emit u16 = x & 0xFFFF;
+  x >>= 16`` then ``x = (x // f) << PROB_BITS | (x % f + cum)``;
+* decode: ``slot = x & (PROB_SCALE-1); x = f·(x >> PROB_BITS) + slot - cum``
   then ``if x < 2^16: x = x << 16 | next_u16``.
 
-One refill always suffices: after the decode update ``x ≥ f·2^4 ≥ 2^4``,
-so ``x << 16 | w ≥ 2^20 > 2^16``.  The emit threshold is evaluated as
-``(x >> 20) >= f`` so that f = 4096 (a single-symbol table) cannot
-overflow the 32-bit product ``f << 20``.  The emit test is exact duality:
-after a decode refill ``x ≥ f·2^20``; without one ``x < f·2^20``.
+One refill always suffices: after the decode update ``x ≥ f·2^(16-PROB_BITS)
+≥ 2^(16-PROB_BITS)``, so ``x << 16 | w > 2^16``.  The emit threshold is
+evaluated as ``(x >> (32-PROB_BITS)) >= f`` so that f = PROB_SCALE (a
+single-symbol table) cannot overflow the 32-bit product
+``f << (32-PROB_BITS)``.  The emit test is exact duality: after a decode
+refill ``x ≥ f·2^(32-PROB_BITS)``; without one ``x < f·2^(32-PROB_BITS)``.
+
+**Why 11 bits, not the reference's 12** (a wire-format decision, not a
+compat one — the `.alc`/ALC2 coders keep 12 bits): the TPU decode
+kernel's serial chain resolves ``slot → (symbol, freq, slot-cum)`` with
+one fused LUT gather; Mosaic's dynamic sublane gather is single-vreg
+(8×128 i32 = 1024 entries per gather), so a 2048-slot table costs 2
+gather pairs + 1 select and a 4096-slot table costs 4 + 3.  Measured
+rate cost of the coarser tables on the bench content: +0.4% (bitmap
+planes) to +2.2% (value planes) — bought back several-fold by the
+shorter decode chain.  PROB_BITS=10 (single gather pair) was rejected:
+min-freq-1 over the 256-symbol alphabet leaves only 768/1024 slots of
+real probability mass on value planes (+20% rate).
 
 This module is the NumPy reference implementation (the "spec"); the
 Pallas kernels in ops/pallas/rans3_kernels.py must match it word-for-word.
@@ -74,10 +88,12 @@ __all__ = [
     "decode_channel_words",
 ]
 
-PROB_BITS = 12
+PROB_BITS = 11
 PROB_SCALE = 1 << PROB_BITS
 #: Lower bound of the normalized state interval for the 16-bit-renorm coder.
 WORD_L = 1 << 16
+#: Emit/duality shift: emit ⇔ (x >> _EMIT_SHIFT) >= f.
+_EMIT_SHIFT = 32 - PROB_BITS
 
 
 def segment_capacity_words(s_seg: int, ng: int) -> int:
@@ -102,7 +118,7 @@ def encode_segment_words(sym_rows: np.ndarray, freqs, cums) -> np.ndarray:
         s = sym_rows[j]
         f = freqs[s]
         c = cums[s]
-        emit = (x >> 20) >= f
+        emit = (x >> _EMIT_SHIFT) >= f
         # decode step j consumes these; ascending lane order
         parts.append((x[emit] & 0xFFFF).astype(np.uint16))
         x = np.where(emit, x >> 16, x)

@@ -9,12 +9,16 @@ and the decoder rebuilds the identical table from the header histogram.
 
 Integer exactness notes:
 
-* ``floor(count·4096/total)`` would overflow int32 (count up to ~10^8), so
-  the quotient is produced by a 12-step shift-subtract long division in
-  uint32 — exact for any ``total < 2^31``.
+* ``floor(count·PROB_SCALE/total)`` would overflow int32 (count up to
+  ~10^8), so the quotient is produced by a PROB_BITS-step shift-subtract
+  long division in uint32 — exact for any ``total < 2^31``.
 * The sanitize excess-removal loop (take from the argmax until the sum
   fits PROB_SCALE) is a ``lax.while_loop`` with first-max argmax — the
   same tie-breaking as ``np.argmax``.
+
+PROB_BITS comes from the ALC3 wire spec (ops/rans_word.py — 11 bits
+since wire v6); the `.alc`-compat path builds its 12-bit tables on the
+host (ops/rans.py FrequencyTable) and does not use this module.
 """
 
 from __future__ import annotations
@@ -22,10 +26,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["freq_table_device"]
+from .rans_word import PROB_BITS, PROB_SCALE
 
-PROB_BITS = 12
-PROB_SCALE = 1 << PROB_BITS
+__all__ = ["freq_table_device"]
 
 
 def _div_scale_floor(h: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:

@@ -57,12 +57,16 @@ _CHANNEL_HEADER_BYTES = 1040
 # ── Device programs ─────────────────────────────────────────────
 
 
-def _color_pad(rgb, padded):
-    """color → edge-pad: uint8 (T,H,W,3) → int32 (3, pT, pH, pW)."""
+def _color_pad(rgb, padded, dtype=jnp.int32):
+    """color → edge-pad: uint8 (T,H,W,3) → ``dtype`` (3, pT, pH, pW).
+
+    ``dtype=jnp.int16`` feeds the i16-storage Pallas lift kernels (half
+    the HBM traffic; exact for 8-bit input — lift_kernels docstring);
+    the XLA lift paths keep i32."""
     pw, ph, pf = padded
     t, h, w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
     y, co, cg = color.rgb_to_ycocg_r(rgb)           # (T,H,W) i16 each
-    chans = jnp.stack([y, co, cg]).astype(jnp.int32)  # (3,T,H,W)
+    chans = jnp.stack([y, co, cg]).astype(dtype)    # (3,T,H,W)
     # Edge-replicating pad to even dims (reference src/pipeline.rs:77-114).
     return jnp.pad(
         chans,
@@ -89,7 +93,7 @@ def _transform(rgb, wavelet_type, padded, levels=1, interleaved=False):
         # channel — the fused 3-channel XLA form OOMs at 1080p).
         from .ops.pallas.lift_kernels import forward_3d_pallas, lift3d_ok
 
-        if lift3d_ok(chans.shape):
+        if lift3d_ok(chans.shape, 4):
             out = forward_3d_pallas(chans, wavelet_type)
             if levels > 1:
                 out = jax.lax.map(
@@ -111,7 +115,7 @@ def _inverse_3d(coeffs, wavelet_type, levels, exact, interleaved):
         # Pallas fused kernels for level 0; lax.map fallback otherwise.
         from .ops.pallas.lift_kernels import inverse_3d_pallas, lift3d_ok
 
-        if lift3d_ok(coeffs.shape):
+        if lift3d_ok(coeffs.shape, 4):
             if levels > 1:
                 coeffs = jax.lax.map(
                     lambda c: wavelet.inverse_3d_inter(
@@ -167,8 +171,10 @@ def _transform_symbols(rgb, step, dead_zone, *, wavelet_type, padded,
     from .ops.pallas.lift_kernels import forward_quant_pallas, lift3d_ok
 
     pw, ph, pf = padded
-    if interleaved and levels == 1 and lift3d_ok((3, pf, ph, pw)):
-        chans = _color_pad(rgb, padded)
+    if interleaved and levels == 1 and lift3d_ok((3, pf, ph, pw), 2):
+        # i16 coefficient storage: exact for 8-bit input, half the HBM
+        # traffic of the i32 form (lift_kernels docstring bounds)
+        chans = _color_pad(rgb, padded, dtype=jnp.int16)
         s3 = jnp.broadcast_to(
             jnp.asarray(step, jnp.int32).reshape(-1), (3,))
         d3 = jnp.broadcast_to(
@@ -277,9 +283,10 @@ def decode_device(
     w, h, t = dims
     pw, ph, pf = padded
     del dead_zone  # stored in headers but unused by dequantization
-    if interleaved and levels == 1 and lift3d_ok((3, pf, ph, pw)):
+    if interleaved and levels == 1 and lift3d_ok((3, pf, ph, pw), 2):
         # un-zigzag + dequantize run inside the temporal inverse
-        # kernel's input pass — no XLA pass over the i32 volume
+        # kernel's input pass — no XLA pass over the coefficient
+        # volume, which lives in i16 (half the HBM traffic)
         volume = inverse_dequant_pallas(
             symbols.reshape(3, pf, ph, pw), wavelet_type,
             step.astype(jnp.int32).reshape(-1), exact=exact)
