@@ -102,12 +102,23 @@ def north_star():
     print("input staged", file=sys.stderr, flush=True)
 
     sparse = os.environ.get("ALC_BENCH_DENSE") != "1"
+    # Chunks per dispatch: production streams batch B chunks through one
+    # phase-1 grid + one compact/entropy grid + one decode grid,
+    # amortizing dispatch gaps and the per-batch capacity fetch (ALC3
+    # encode_batch/decode_batch).  B=1 falls back to per-chunk calls.
+    batch = int(os.environ.get("ALC_BENCH_BATCH", "2"))
     codec = Alc3Codec(quality=90, wavelet="cdf53", sparse=sparse)
     print("warmup (compiling)...", file=sys.stderr, flush=True)
-    chunk = codec.encode(rgb)
-    out = codec.decode(chunk)
+    if batch > 1:
+        rgbb = jnp.broadcast_to(rgb[None], (batch,) + rgb.shape)
+        chunks = codec.encode_batch(rgbb)
+        out = codec.decode_batch(chunks)[0]
+        comp = chunks[0].compressed_size
+    else:
+        chunk = codec.encode(rgb)
+        out = codec.decode(chunk)
+        comp = chunk.compressed_size
     _sync(out)
-    comp = chunk.compressed_size
     print("warmup done", file=sys.stderr, flush=True)
 
     # Sustained pipelined throughput: all iterations are dispatched
@@ -116,13 +127,17 @@ def north_star():
     # the whole stream) — per-iteration fetches would insert a host↔chip
     # round trip between chunks that a production pipeline doesn't have.
     start = time.perf_counter()
-    outs = []
     for _ in range(n_iters):
-        c = codec.encode(rgb)
-        out = codec.decode(c)
-        outs.append(out)
+        if batch > 1:
+            cs = codec.encode_batch(rgbb)
+            outs = codec.decode_batch(cs)
+            out = outs[0]
+        else:
+            c = codec.encode(rgb)
+            out = codec.decode(c)
     _sync(out)
     elapsed = time.perf_counter() - start
+    n_iters *= batch
 
     mse = float(jnp.mean(
         (out.astype(jnp.float32) - rgb.astype(jnp.float32)) ** 2))
