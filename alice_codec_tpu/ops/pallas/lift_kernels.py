@@ -74,10 +74,14 @@ _FRAME_BYTES = 9 * 1024 * 1024
 
 
 def _roll(x, shift: int, axis: int):
-    """Static circular shift: out[i] = x[i - shift].  Written as two
-    static slices + concatenate (Mosaic-supported on every axis; the
-    circular wrap rows are always overridden by the edge masks)."""
+    """Static circular shift: out[i] = x[i - shift] (the circular wrap
+    rows are always overridden by the edge masks).  i32 tiles use
+    Mosaic's native register rotate; i16 falls back to two static slices
+    + concatenate (Mosaic: "Rotate with non-32-bit data" unimplemented)."""
+    axis = axis % x.ndim
     n = x.shape[axis]
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, shift % n, axis)
     if shift == 1:
         a = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
         b = jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)
@@ -92,12 +96,13 @@ def _roll(x, shift: int, axis: int):
 
 def _lift_axis(x, coeff: int, predict: bool, axis: int,
                inverse_exact: bool = False):
-    """One level-0 lifting step along ``axis`` of a VMEM-resident tile
-    whose extent along ``axis`` is the FULL volume extent (edge rules
-    apply at tile edges).  Mirrors wavelet._lift_inter at s=1.  i16
-    tiles upcast the neighbor sum to i32 (where the delta arithmetic is
-    exact — see module docstring) and the delta, which fits i16, casts
-    back down before the in-place add."""
+    """One level-0 lifting step along ``axis`` of a VMEM-resident i32
+    tile whose extent along ``axis`` is the FULL volume extent (edge
+    rules apply at tile edges).  Mirrors wavelet._lift_inter at s=1.
+    Kernels storing i16 upcast the tile to i32 registers once on load
+    (the arithmetic is exact either way by the module-docstring bounds;
+    i32 registers make Mosaic's native rotate legal and drop the
+    per-step upcasts)."""
     n = x.shape[axis]
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     nl = _roll(x, 1, axis)
@@ -108,17 +113,7 @@ def _lift_axis(x, coeff: int, predict: bool, axis: int,
     else:
         tgt = (idx & 1) == 0
         nbr = jnp.where(idx == 0, nr, nl) + nr
-    if x.dtype == jnp.int16:
-        # i16 sum may wrap; redo the select-sum in i32 (exact), then the
-        # delta itself is bounded well inside i16.
-        nl32, nr32 = nl.astype(jnp.int32), nr.astype(jnp.int32)
-        if predict:
-            nbr = nl32 + jnp.where(idx == n - 1, nl32, nr32)
-        else:
-            nbr = jnp.where(idx == 0, nr32, nl32) + nr32
-        d = _delta(nbr, coeff).astype(jnp.int16)
-    else:
-        d = _delta(nbr, coeff)
+    d = _delta(nbr, coeff)
     return jnp.where(tgt, x - d if inverse_exact else x + d, x)
 
 
@@ -133,27 +128,27 @@ def _steps(wavelet: WaveletType, inverse: bool, exact: bool):
 
 
 def _spatial_kernel(steps, axes_order, x_ref, o_ref):
-    x = x_ref[0, 0]  # (H, W) — one full frame
+    x = x_ref[0, 0].astype(jnp.int32)  # (H, W) — one full frame
     for axis in axes_order:
         for coeff, predict, inv in steps:
             x = _lift_axis(x, coeff, predict, axis, inverse_exact=inv)
-    o_ref[0, 0] = x
+    o_ref[0, 0] = x.astype(o_ref.dtype)
 
 
 def _axis_kernel(steps, axis, x_ref, o_ref):
     """Single-axis lift over a 2D tile spanning the full ``axis`` extent
     (the split spatial path for frames beyond the fused budget)."""
-    x = x_ref[0, 0]
+    x = x_ref[0, 0].astype(jnp.int32)
     for coeff, predict, inv in steps:
         x = _lift_axis(x, coeff, predict, axis, inverse_exact=inv)
-    o_ref[0, 0] = x
+    o_ref[0, 0] = x.astype(o_ref.dtype)
 
 
 def _temporal_kernel(steps, x_ref, o_ref):
-    x = x_ref[0]  # (T, Hb, W) — full temporal extent
+    x = x_ref[0].astype(jnp.int32)  # (T, Hb, W) — full temporal extent
     for coeff, predict, inv in steps:
         x = _lift_axis(x, coeff, predict, 0, inverse_exact=inv)
-    o_ref[0] = x
+    o_ref[0] = x.astype(o_ref.dtype)
 
 
 def _temporal_quant_kernel(steps, x_ref, q_ref, o_ref):
@@ -164,20 +159,18 @@ def _temporal_quant_kernel(steps, x_ref, q_ref, o_ref):
     ci = pl.program_id(0)
     step = q_ref[0, ci]
     dz = q_ref[1, ci]
-    x = x_ref[0]
+    x = x_ref[0].astype(jnp.int32)
     for coeff, predict, inv in steps:
         x = _lift_axis(x, coeff, predict, 0, inverse_exact=inv)
     # quant.quantize + quant.to_symbols, inlined (same arithmetic;
-    # reference src/quant.rs:89-97, 547-563).  Division runs in i32
-    # regardless of the storage dtype.
-    x = x.astype(jnp.int32)
+    # reference src/quant.rs:89-97, 547-563).
     av = jnp.abs(x)
     q = jnp.where(av < dz, 0, jnp.sign(x) * ((av - (dz >> 1)) // step))
     s = jnp.where(q > 0, 2 * q - 1, -2 * q)
     o_ref[0] = (s & 0xFF).astype(jnp.uint8)
 
 
-def _temporal_dequant_kernel(steps, out_dtype, x_ref, q_ref, o_ref):
+def _temporal_dequant_kernel(steps, x_ref, q_ref, o_ref):
     """Un-zigzag + dequantize fused with the inverse temporal lift: the
     decode path feeds uint8 wire symbols straight into the first inverse
     pass.  ``q_ref``: SMEM (1, C) step per channel."""
@@ -185,10 +178,9 @@ def _temporal_dequant_kernel(steps, out_dtype, x_ref, q_ref, o_ref):
     step = q_ref[0, ci]
     s = x_ref[0].astype(jnp.int32)
     x = jnp.where(s % 2 == 1, (s + 1) // 2, -(s // 2)) * step
-    x = x.astype(out_dtype)
     for coeff, predict, inv in steps:
         x = _lift_axis(x, coeff, predict, 0, inverse_exact=inv)
-    o_ref[0] = x
+    o_ref[0] = x.astype(o_ref.dtype)
 
 
 def _pick_hb(t: int, h: int, w: int, itemsize: int = 4) -> int:
@@ -385,7 +377,7 @@ def inverse_dequant_pallas(symbols, wavelet: WaveletType, step, *,
                             interpret)
     temporal = _temporal_call(
         symbols.shape, work_dtype,
-        partial(_temporal_dequant_kernel, steps, work_dtype),
+        partial(_temporal_dequant_kernel, steps),
         work_dtype, 1, interpret)
     q = jnp.asarray(step, jnp.int32).reshape(1, -1)
     return spatial(temporal(symbols.astype(jnp.uint8), q))

@@ -75,8 +75,10 @@ TILE_ROWS = 8
 #: pads the sparse plane so the per-channel block count is always a
 #: multiple of this (1080p×64 gives nb=2025 blocks — without padding the
 #: odd count forced v_blk=1, i.e. NO chain interleaving on the flagship
-#: shape).
-DEFAULT_V_BLK = 4
+#: shape).  Round-4 sweep (benches/knobs.py on v5e, 15% density): 4 →
+#: 530, 8 → 508, 16 → 631 Msym/s compact (expand flat ~640) — the
+#: per-tile serial chains are latency-bound deep into the interleave.
+DEFAULT_V_BLK = 16
 
 #: tiles handled per fori_loop step (per interleaved block chain) — with
 #: per-tile SMEM bases the tile bodies are fully independent, so the
@@ -226,6 +228,74 @@ def _iotas():
     return iota8_0, (i, lane_iota), ltT, lt8
 
 
+def _flat_shift_left(x, s: int):
+    """Row-major flat shift on an (8, NG) tile: out[f] = x[f + s] (zeros
+    shifted in past the end).  s < NG: one lane roll + one row shift +
+    one select; s a multiple of NG: pure row shift."""
+    rows = x.shape[0]
+    rshift, lshift = divmod(s, NG)
+
+    def rows_up(a, k):
+        if k == 0:
+            return a
+        if k >= rows:
+            return jnp.zeros_like(a)
+        return jnp.concatenate(
+            [a[k:, :], jnp.zeros((k, NG), a.dtype)], axis=0)
+
+    if lshift == 0:
+        return rows_up(x, rshift)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    a = pltpu.roll(x, NG - lshift, 1)      # (r, (l+s) mod NG)
+    b = rows_up(a, 1)                      # next row's wrap lanes
+    base = jnp.where(lane < NG - lshift, a, b)
+    return rows_up(base, rshift)
+
+
+def _tile_prefix(bits):
+    """(exclusive in-row rank (8,NG), exclusive row-count prefix (8,1))
+    via log-step shift+adds — pure VPU, no MXU round trip."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
+    inc = bits
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        sh = pltpu.roll(inc, s, 1)
+        inc = inc + jnp.where(lane >= s, sh, 0)
+    rank = inc - bits                      # exclusive within-row
+    cnt = inc[:, NG - 1 :]                 # (8,1) row totals
+    row = jax.lax.broadcasted_iota(jnp.int32, cnt.shape, 0)
+    pre = cnt
+    for s in (1, 2, 4):                    # sublane Hillis-Steele scan
+        sh = pltpu.roll(pre, s, 0)
+        pre = pre + jnp.where(row >= s, sh, 0)
+    return rank, pre - cnt                 # (…, exclusive row prefix)
+
+
+def _butterfly_compact(rows, bits):
+    """Within-tile stream compaction as an LSB-first butterfly route
+    (the PEXT network construction, word-level).  Each valid element
+    carries its left-displacement d = flat_pos − global_rank packed
+    alongside its value; round k shifts elements with bit k of d by 2^k.
+    Collision-free: if valid a<b landed on one lane after round k, then
+    d_b ≡ d_a + (b−a) (mod 2^{k+1}) with d monotone forces
+    rank_b ≤ rank_a — contradiction.  ~150 VPU ops per 1024-symbol tile
+    vs ~400 for the per-row one-hot + MXU-dot scatter ("dot"), with no
+    serial MXU round trips.  Returns the tile's value rows, zero-padded
+    (rows ≥ ceil(nnz/128) are all zero)."""
+    rank, off = _tile_prefix(bits)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    flat = row8 * NG + lane
+    d = flat - (off + rank)                # 0 ≤ d ≤ 1023
+    packed = jnp.where(bits == 1, rows | (d << 8) | (1 << 18), 0)
+    for k in range(10):                    # shifts 1, 2, …, 512
+        inc = _flat_shift_left(packed, 1 << k)
+        move_in = (inc >> (8 + k)) & (inc >> 18) & 1
+        stay = ((packed >> 18) & 1) & (1 - ((packed >> (8 + k)) & 1))
+        packed = jnp.where(move_in == 1, inc,
+                           jnp.where(stay == 1, packed, 0))
+    return jnp.where((packed >> 18) & 1 == 1, packed & 255, 0)
+
+
 def _row_ranks(bits8, ltT, lt8):
     """Per-row machinery for an (8, NG) bit tile: returns ``(rank (8,NG)
     int32 — exclusive prefix within each row, off (8,1) int32 — exclusive
@@ -255,9 +325,15 @@ def _compact_kernel(v_blk, br, u, skip_empty, algo,
     slot = pl.program_id(0)
     bm8 = br // TILE_ROWS
 
-    # zero tails are load-bearing: block k's zero tail is block k+1's
-    # data region in the overlapped HBM write-out below.
-    scratch[:, :] = jnp.zeros(scratch.shape, jnp.int32)
+    # No scratch zero-init (round 3 zeroed all v_blk·(br+8) rows every
+    # grid step — 4.3 MB of stores at v_blk=16): consecutive tile stores
+    # cover [0, cur_final+8) gap-free (a skipped tile leaves cur in
+    # place, so the next tile's window overlaps its region), rows past a
+    # block's used rows land in the NEXT block's HBM region and its
+    # sequential DMA overwrites them, and rows ≥ ch_rows of the final
+    # blocks are masked to the zero padding symbol by the caller
+    # (alc3._encode_chunk_sparse) — the vals output's contract already
+    # leaves rows beyond each plane's used rows UNSPECIFIED.
 
     def one(v, g):
         # per-tile descriptor from the SMEM prepass: value-row offset
@@ -300,6 +376,12 @@ def _compact_kernel(v_blk, br, u, skip_empty, algo,
                         jnp.where(o < cnt_v, out, 0))
                 pl.when(r < trows)(_row)
 
+        def _butterfly():
+            acc = _butterfly_compact(rows, bits)
+            # same store contract as _scatter: rows past the tile's ceil
+            # are zeros; the next tile's store overwrites them.
+            scratch[pl.ds(v * (br + 8) + cur, 8), :] = acc
+
         def _scatter():
             rank, off = _row_ranks(bits, ltT, lt8)
             # the tile's padded value rows build entirely in registers:
@@ -337,7 +419,8 @@ def _compact_kernel(v_blk, br, u, skip_empty, algo,
             # (sequential block order below).
             scratch[pl.ds(v * (br + 8) + cur, 8), :] = acc
 
-        body = _search if algo == "search" else _scatter
+        body = {"search": _search, "dot": _scatter,
+                "butterfly": _butterfly}[algo]
         if skip_empty:
             pl.when(trows > 0)(body)
         else:
@@ -415,7 +498,7 @@ def compact_pallas(
         raise ValueError(f"tiles per block ({bm8}) % unroll ({unroll})")
     _, total_rows = plane_row_bases(krs, br)
     tbase = tile_row_bases_from_symbols(symbols, p, br)
-    if algo not in ("search", "dot"):
+    if algo not in ("search", "dot", "butterfly"):
         raise ValueError(f"unknown compact algo {algo!r}")
     kernel = partial(_compact_kernel, v_blk, br, unroll, skip_empty, algo)
     bm, vals = pl.pallas_call(
@@ -509,15 +592,20 @@ def _expand_kernel(v_blk, br, u, skip_empty,
             # pixel row is a 2-D dynamic gather at tile-local positions
             # off_j + rank — no serial chain, the 8 gathers and the
             # v_blk block chains all overlap.  off stays vector-side
-            # ((8,1) broadcast), never a scalar extract.
+            # ((8,1) broadcast), never a scalar extract.  The 8 decoded
+            # rows accumulate in registers and land as ONE aligned
+            # (8,128) store (round 3 issued 8 separate row stores, which
+            # Mosaic orders conservatively against each other).
             win8 = scratch[pl.ds(v * (br + 8) + cur, 8), :]
+            rows_out = []
             for j in range(8):
                 mask = bits[j : j + 1, :] == 1
                 pj = jnp.where(mask, off[j : j + 1, :1]
                                + rank[j : j + 1, :], 0)
                 out = _gather2d(win8, pj >> 7, pj & (NG - 1))
-                sym_ref[pl.ds(v * br + TILE_ROWS * g + j, 1), :] = (
-                    jnp.where(mask, out, 0))
+                rows_out.append(jnp.where(mask, out, 0))
+            sym_ref[pl.ds(v * br + TILE_ROWS * g, 8), :] = (
+                jnp.concatenate(rows_out, axis=0))
 
         if skip_empty:
             pl.when(trows == 0)(_zeros)

@@ -81,6 +81,8 @@ __all__ = [
     "WORD_L",
     "PROB_BITS",
     "PROB_SCALE",
+    "freq_table_words",
+    "decode_lut_words",
     "segment_capacity_words",
     "encode_segment_words",
     "decode_segment_words",
@@ -94,6 +96,57 @@ PROB_SCALE = 1 << PROB_BITS
 WORD_L = 1 << 16
 #: Emit/duality shift: emit ⇔ (x >> _EMIT_SHIFT) >= f.
 _EMIT_SHIFT = 32 - PROB_BITS
+
+
+def freq_table_words(hist) -> tuple[np.ndarray, np.ndarray]:
+    """(256,) histogram → (freqs, cums) int32 at the ALC3 wire's
+    PROB_SCALE — the NumPy twin of ops/tables_device.freq_table_device
+    (same min-1, drain-from-first-argmax sanitize, last-symbol deficit
+    absorption, and uniform all-zero fallback), for host-side spec
+    decodes of ALC3 payloads.  NOTE: ops/rans.FrequencyTable builds
+    12-bit `.alc`-compat tables — those do NOT decode ALC3 wire v6."""
+    h = np.asarray(hist, np.uint64)
+    total = int(h.sum())
+    if total == 0:
+        freqs = np.full(256, PROB_SCALE // 256, np.int32)
+        cums = (np.arange(256, dtype=np.int32) * (PROB_SCALE // 256))
+        return freqs, cums
+    freqs = np.maximum((h * PROB_SCALE) // total, 1).astype(np.int64)
+    excess = int(freqs.sum()) - PROB_SCALE
+    while excess > 0:
+        imax = int(np.argmax(freqs))
+        take = min(excess, int(freqs[imax]) - 1)
+        if take <= 0:
+            break
+        freqs[imax] -= take
+        excess -= take
+    cums = np.concatenate([[0], np.cumsum(freqs)[:-1]]).astype(np.int32)
+    freqs[-1] += PROB_SCALE - int(freqs.sum())
+    return freqs.astype(np.int32), cums
+
+
+def decode_lut_words(cums) -> np.ndarray:
+    """PROB_SCALE-entry slot→symbol LUT for :func:`decode_segment_words`."""
+    cums = np.asarray(cums, np.int64)
+    return (np.searchsorted(cums, np.arange(PROB_SCALE), side="right") - 1
+            ).astype(np.uint8)
+
+
+class WordTable:
+    """Convenience bundle of :func:`freq_table_words` +
+    :func:`decode_lut_words` mirroring the ``FrequencyTable`` attribute
+    surface (``freqs``/``cums``/``cum_to_sym``) for ALC3-wire callers."""
+
+    __slots__ = ("freqs", "cums", "cum_to_sym")
+
+    def __init__(self, freqs, cums):
+        self.freqs = np.asarray(freqs, np.int32)
+        self.cums = np.asarray(cums, np.int32)
+        self.cum_to_sym = decode_lut_words(self.cums)
+
+    @classmethod
+    def from_histogram(cls, hist) -> "WordTable":
+        return cls(*freq_table_words(hist))
 
 
 def segment_capacity_words(s_seg: int, ng: int) -> int:

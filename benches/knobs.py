@@ -127,7 +127,7 @@ def _sparse_sweep(rng, small):
             b, vv, vbase, p=p, kr=kr, v_blk=vv2), bms, vals)
         print(f"expand  v_blk={v:2d}  {3 * p / t_x / 1e6:7.0f} Msym/s",
               flush=True)
-    for algo in ("search", "dot"):
+    for algo in ("search", "dot", "butterfly"):
         t_c = _time(lambda s, aa=algo: compact_pallas(
             s, vbase, p=p, kr=kr, algo=aa), sp_j)
         print(f"compact algo={algo:6s}  {3 * p / t_c / 1e6:7.0f} Msym/s",

@@ -9,7 +9,11 @@ from alice_codec_tpu.alc3 import Alc3Codec, DeviceChunk
 from alice_codec_tpu.core import WaveletType, padded_dims, quality_to_step
 from alice_codec_tpu.errors import InvalidBitstream
 from alice_codec_tpu.ops.rans import FrequencyTable
-from alice_codec_tpu.ops.rans_word import decode_channel_words
+from alice_codec_tpu.ops.rans_word import (
+    decode_channel_words,
+    decode_lut_words,
+    freq_table_words,
+)
 from alice_codec_tpu.pipeline import FrameDecoder, FrameEncoder
 
 
@@ -90,12 +94,13 @@ def test_container_roundtrip_and_host_spec_decode():
     for ch in range(3):
         hist = np.asarray(chunk.hists)[ch].copy()
         hist[0] += -(-(m - p) // HIST_STRIDE)  # scaled like sampled hists
-        table = FrequencyTable.from_histogram(hist, sanitize=True)
+        # ALC3 wire tables (11-bit since v6) — NOT the 12-bit .alc ones
+        freqs, cums = freq_table_words(hist)
         ch_counts = counts[ch * n_seg : (ch + 1) * n_seg]
         n_words = int(ch_counts.sum())
         syms = decode_channel_words(
             payload[off : off + n_words], ch_counts, p, s_seg=8, ng=128,
-            freqs=table.freqs, cums=table.cums, cum_to_sym=table.cum_to_sym,
+            freqs=freqs, cums=cums, cum_to_sym=decode_lut_words(cums),
             validate=True,
         )
         off += n_words

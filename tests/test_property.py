@@ -33,8 +33,10 @@ from alice_codec_tpu.ops.rans import (
     RansEncoder,
 )
 from alice_codec_tpu.ops.rans_word import (
+    decode_lut_words,
     decode_segment_words,
     encode_segment_words,
+    freq_table_words,
 )
 
 # ALC_PROP_EXAMPLES trims the per-test example budget for quick local
@@ -177,10 +179,11 @@ def test_alc3_segment_words_roundtrip_random(data, seed):
     rng = np.random.default_rng(seed)
     seg = data[rng.integers(0, len(data), size=8 * 128)].reshape(8, 128)
     hist = np.bincount(seg.reshape(-1), minlength=256).astype(np.uint32)
-    table = FrequencyTable.from_histogram(hist, sanitize=True)
-    words = encode_segment_words(seg, table.freqs, table.cums)
+    # ALC3 wire tables (11-bit since v6), not the 12-bit .alc ones
+    freqs, cums = freq_table_words(hist)
+    words = encode_segment_words(seg, freqs, cums)
     back, cursor = decode_segment_words(
-        words, len(words), 8, 128, table.freqs, table.cums, table.cum_to_sym
+        words, len(words), 8, 128, freqs, cums, decode_lut_words(cums)
     )
     assert cursor == 0
     np.testing.assert_array_equal(back, seg)

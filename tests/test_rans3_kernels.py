@@ -8,8 +8,8 @@ exercised by the bench and by tests/test_device_codec.py paths.
 import numpy as np
 import pytest
 
-from alice_codec_tpu.ops.rans import FrequencyTable
 from alice_codec_tpu.ops.rans_word import (
+    WordTable,
     encode_segment_words,
     segment_capacity_words,
 )
@@ -21,9 +21,9 @@ from alice_codec_tpu.ops.pallas.rans3_kernels import (
 )
 
 
-def _table(symbols: np.ndarray) -> FrequencyTable:
+def _table(symbols: np.ndarray) -> WordTable:
     hist = np.bincount(symbols.reshape(-1), minlength=256).astype(np.uint32)
-    return FrequencyTable.from_histogram(hist, sanitize=True)
+    return WordTable.from_histogram(hist)
 
 
 def _content(kind: str, n: int, seed: int = 0) -> np.ndarray:
@@ -38,7 +38,7 @@ def _content(kind: str, n: int, seed: int = 0) -> np.ndarray:
     raise AssertionError(kind)
 
 
-def _spec_streams(segs: np.ndarray, table: FrequencyTable):
+def _spec_streams(segs: np.ndarray, table: WordTable):
     """Segments (S, s_seg, NG) → padded stream array + counts via the spec
     (all-zero segments ELIDED with count 0, like encode_channel_words)."""
     s_seg = segs.shape[1]

@@ -8,8 +8,8 @@ final-state invariant, segment independence, and the capacity bound.
 import numpy as np
 import pytest
 
-from alice_codec_tpu.ops.rans import FrequencyTable
 from alice_codec_tpu.ops.rans_word import (
+    WordTable,
     WORD_L,
     decode_channel_words,
     decode_segment_words,
@@ -19,9 +19,9 @@ from alice_codec_tpu.ops.rans_word import (
 )
 
 
-def _table(symbols: np.ndarray) -> FrequencyTable:
+def _table(symbols: np.ndarray) -> WordTable:
     hist = np.bincount(symbols.reshape(-1), minlength=256).astype(np.uint32)
-    return FrequencyTable.from_histogram(hist, sanitize=True)
+    return WordTable.from_histogram(hist)
 
 
 def _contents():
@@ -70,7 +70,7 @@ def test_channel_roundtrip_with_padding(n):
     rng = np.random.default_rng(n)
     syms = rng.integers(0, 200, size=n, dtype=np.uint8)
     hist = np.bincount(syms, minlength=256).astype(np.uint32)
-    t = FrequencyTable.from_histogram(hist, sanitize=True)
+    t = WordTable.from_histogram(hist)
     payload, counts = encode_channel_words(syms, t.freqs, t.cums, s_seg=32, ng=16)
     out = decode_channel_words(
         payload, counts, n, s_seg=32, ng=16,

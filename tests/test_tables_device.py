@@ -1,17 +1,19 @@
-"""Device frequency-table build parity vs the host implementation."""
+"""Device frequency-table build parity vs the host spec implementation
+(ops/rans_word.freq_table_words — the ALC3 wire's 11-bit tables)."""
 
 import numpy as np
 import pytest
 
-from alice_codec_tpu.ops.rans import FrequencyTable
+from alice_codec_tpu.ops.rans_word import PROB_SCALE, freq_table_words
 from alice_codec_tpu.ops.tables_device import freq_table_device
 
 
 def _check(hist: np.ndarray):
-    ref = FrequencyTable.from_histogram(hist.astype(np.uint32), sanitize=True)
+    rf, rc = freq_table_words(hist.astype(np.uint32))
     freqs, cums = freq_table_device(hist.astype(np.uint32))
-    np.testing.assert_array_equal(np.asarray(freqs), ref.freqs.astype(np.int32))
-    np.testing.assert_array_equal(np.asarray(cums), ref.cums.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(freqs), rf)
+    np.testing.assert_array_equal(np.asarray(cums), rc)
+    assert int(rf.sum()) == PROB_SCALE
 
 
 def test_zero_histogram_uniform():

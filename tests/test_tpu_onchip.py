@@ -30,11 +30,11 @@ import jax, jax.numpy as jnp
 assert jax.devices()[0].platform != "cpu", f"no TPU: {jax.devices()}"
 
 from alice_codec_tpu.ops import rans_word, sparse_spec
+from alice_codec_tpu.ops.rans_word import WordTable
 from alice_codec_tpu.ops.pallas.rans3_kernels import (
     decode_words_pallas, encode_words_pallas, stream_rows)
 from alice_codec_tpu.ops.pallas.sparse_kernels import (
     compact_pallas, expand_pallas, value_row_bases)
-from alice_codec_tpu.ops.rans import FrequencyTable
 from alice_codec_tpu.ops.tables_device import freq_table_device
 
 rng = np.random.default_rng(0)
@@ -62,7 +62,7 @@ for name, n_tables, mk in [
         hist = np.bincount(
             sym[t * seg_per_table : (t + 1) * seg_per_table].reshape(-1),
             minlength=256).astype(np.uint32)
-        ft = FrequencyTable.from_histogram(hist, sanitize=True)
+        ft = WordTable.from_histogram(hist)
         freqs[t], cums[t] = ft.freqs, ft.cums
         luts.append(ft.cum_to_sym)
     streams, counts = encode_words_pallas(
@@ -91,7 +91,7 @@ sym = sym.reshape(4, s_seg, NG)
 sym[0] = 0
 sym[2] = 0
 hist = np.bincount(sym.reshape(-1), minlength=256).astype(np.uint32)
-ft = FrequencyTable.from_histogram(hist, sanitize=True)
+ft = WordTable.from_histogram(hist)
 f1, c1 = jnp.asarray(ft.freqs[None].astype(np.int64)), jnp.asarray(
     ft.cums[None].astype(np.int64))
 streams, counts = encode_words_pallas(
