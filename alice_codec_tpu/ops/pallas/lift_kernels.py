@@ -163,9 +163,19 @@ def _temporal_quant_kernel(steps, x_ref, q_ref, o_ref):
     for coeff, predict, inv in steps:
         x = _lift_axis(x, coeff, predict, 0, inverse_exact=inv)
     # quant.quantize + quant.to_symbols, inlined (same arithmetic;
-    # reference src/quant.rs:89-97, 547-563).
+    # reference src/quant.rs:89-97, 547-563).  The integer divide is a
+    # f32 reciprocal multiply + one exact correction: TPU has no integer
+    # divide (XLA lowers ``//`` to a long chain — measured +25 ms on the
+    # 1080p temporal pass).  |a| ≤ 2^15 and step ≥ 1, so the f32 product
+    # is within 1 of floor(a/step) and a single remainder adjustment is
+    # exact.
     av = jnp.abs(x)
-    q = jnp.where(av < dz, 0, jnp.sign(x) * ((av - (dz >> 1)) // step))
+    a = jnp.maximum(av - (dz >> 1), 0)
+    q0 = (a.astype(jnp.float32)
+          * (1.0 / step.astype(jnp.float32))).astype(jnp.int32)
+    r = a - q0 * step
+    q0 = q0 + (r >= step).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    q = jnp.where(av < dz, 0, jnp.sign(x) * q0)
     s = jnp.where(q > 0, 2 * q - 1, -2 * q)
     o_ref[0] = (s & 0xFF).astype(jnp.uint8)
 

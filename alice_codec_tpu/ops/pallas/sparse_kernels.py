@@ -317,13 +317,43 @@ def _row_ranks(bits8, ltT, lt8):
 
 
 def _compact_kernel(v_blk, br, u, skip_empty, algo,
-                    vbase_ref, tbase_ref, sym_ref,
+                    vbase_ref, tbase_ref, brows_ref, sym_ref,
                     bm_ref, vals_hbm, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
     iota128_0, lane = win
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, NG), 0)
     slot = pl.program_id(0)
     bm8 = br // TILE_ROWS
+
+    # Whole-slot skip: the per-tile iteration costs ~300-400 cycles of
+    # fixed overhead (SMEM descriptor read + dynamic store bases + when
+    # machinery) EVEN when every tile is empty — measured 37.8 ms for an
+    # all-zero 98k-tile plane set on v5e.  A slot whose v_blk blocks all
+    # have zero value rows (empty chroma planes, flat regions) writes
+    # its bitmap zeros as one block store and skips the tile loop AND
+    # the write-out DMAs (its HBM value regions are either overwritten
+    # by the next non-empty block's sequential DMA or ≥ ch_rows and
+    # masked by the caller).
+    slot_active = brows_ref[0, slot * v_blk] > 0
+    for _v in range(1, v_blk):
+        slot_active = jnp.logical_or(
+            slot_active, brows_ref[0, slot * v_blk + _v] > 0)
+
+    @pl.when(jnp.logical_not(slot_active))
+    def _zero_slot():
+        bm_ref[:, :] = jnp.zeros(bm_ref.shape, jnp.int32)
+
+    @pl.when(slot_active)
+    def _active_slot():
+        _compact_slot(v_blk, br, u, skip_empty, algo, slot,
+                      vbase_ref, tbase_ref, sym_ref, bm_ref, vals_hbm,
+                      scratch, sems, iota8_0, win, ltT, lt8, row8, bm8)
+
+
+def _compact_slot(v_blk, br, u, skip_empty, algo, slot,
+                  vbase_ref, tbase_ref, sym_ref, bm_ref, vals_hbm,
+                  scratch, sems, iota8_0, win, ltT, lt8, row8, bm8):
+    iota128_0, lane = win
 
     # No scratch zero-init (round 3 zeroed all v_blk·(br+8) rows every
     # grid step — 4.3 MB of stores at v_blk=16): consecutive tile stores
@@ -497,7 +527,14 @@ def compact_pallas(
     if bm8 % unroll:
         raise ValueError(f"tiles per block ({bm8}) % unroll ({unroll})")
     _, total_rows = plane_row_bases(krs, br)
-    tbase = tile_row_bases_from_symbols(symbols, p, br)
+    # one prepass over the symbols yields both the per-tile descriptors
+    # and the per-block row totals (the whole-slot skip scalar)
+    blk = TILE_ROWS * NG
+    cnt = jnp.sum(
+        (symbols.reshape(nc, nb * bm8, blk) != 0).astype(jnp.int32), axis=-1)
+    trows = -(-cnt // NG)
+    tbase = _tile_rel_bases(trows.reshape(nc, nb, bm8))
+    brows = trows.reshape(nc * nb, bm8).sum(axis=-1).astype(jnp.int32)
     if algo not in ("search", "dot", "butterfly"):
         raise ValueError(f"unknown compact algo {algo!r}")
     kernel = partial(_compact_kernel, v_blk, br, unroll, skip_empty, algo)
@@ -514,6 +551,8 @@ def compact_pallas(
             # 3-D so the BLOCKED last-two dims equal the array dims (the
             # Mosaic SMEM block rule); the grid steps over the leading dim.
             pl.BlockSpec((1, 1, v_blk * bm8), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nc * nb), lambda s: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((v_blk * br, NG), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
@@ -532,6 +571,7 @@ def compact_pallas(
     )(
         vbase.astype(jnp.int32).reshape(1, nc * nb),
         tbase.reshape(nc * nb // v_blk, 1, v_blk * bm8),
+        brows.reshape(1, nc * nb),
         symbols.astype(jnp.int32).reshape(nc * pr, NG),
     )
     return bm.reshape(nc, p // 8), vals
@@ -541,12 +581,36 @@ def compact_pallas(
 
 
 def _expand_kernel(v_blk, br, u, skip_empty,
-                   vbase_ref, tbase_ref, bm_ref, vals_hbm,
+                   vbase_ref, tbase_ref, brows_ref, bm_ref, vals_hbm,
                    sym_ref, scratch, sems):
     iota8_0, win, ltT, lt8 = _iotas()
     slot = pl.program_id(0)
     bm8 = br // TILE_ROWS
 
+    # Whole-slot skip (see _compact_kernel): a slot whose blocks all
+    # decode to zeros (empty chroma planes, flat regions) writes its
+    # symbol zeros as one block store and skips the staging DMAs and
+    # the per-tile loop — the per-tile iteration overhead (~300-400
+    # cycles) dominates the zero tiles otherwise.
+    slot_active = brows_ref[0, slot * v_blk] > 0
+    for _v in range(1, v_blk):
+        slot_active = jnp.logical_or(
+            slot_active, brows_ref[0, slot * v_blk + _v] > 0)
+
+    @pl.when(jnp.logical_not(slot_active))
+    def _zero_slot():
+        sym_ref[:, :] = jnp.zeros(sym_ref.shape, jnp.int32)
+
+    @pl.when(slot_active)
+    def _active_slot():
+        _expand_slot(v_blk, br, u, skip_empty, slot, vbase_ref,
+                     tbase_ref, bm_ref, vals_hbm, sym_ref, scratch,
+                     sems, iota8_0, win, ltT, lt8, bm8)
+
+
+def _expand_slot(v_blk, br, u, skip_empty, slot, vbase_ref, tbase_ref,
+                 bm_ref, vals_hbm, sym_ref, scratch, sems,
+                 iota8_0, win, ltT, lt8, bm8):
     # stage each block's value window first (reads may overlap freely; the
     # DMAs run while the first tiles' bitmap work proceeds).  Tile window
     # reads stay within the staged br rows: a tile's base is the sum of
@@ -659,7 +723,14 @@ def expand_pallas(
     if values.shape != (total_rows, NG):
         raise ValueError(
             f"values shape {values.shape} != {(total_rows, NG)}")
-    tbase = tile_row_bases_from_bitmaps(bitmaps, p, br)
+    # one prepass over the bitmaps yields both the per-tile descriptors
+    # and the per-block row totals (the whole-slot skip scalar)
+    counts = jax.lax.population_count(
+        bitmaps.astype(jnp.uint8).reshape(nc, nb * bm8, NG)
+    ).astype(jnp.int32).sum(axis=-1)
+    trows = -(-counts // NG)
+    tbase = _tile_rel_bases(trows.reshape(nc, nb, bm8))
+    brows = trows.reshape(nc * nb, bm8).sum(axis=-1).astype(jnp.int32)
     kernel = partial(_expand_kernel, v_blk, br, unroll, skip_empty)
     sym = pl.pallas_call(
         kernel,
@@ -671,6 +742,8 @@ def expand_pallas(
             # 3-D so the BLOCKED last-two dims equal the array dims (the
             # Mosaic SMEM block rule); the grid steps over the leading dim.
             pl.BlockSpec((1, 1, v_blk * bm8), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nc * nb), lambda s: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((v_blk * br // 8, NG), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
@@ -687,6 +760,7 @@ def expand_pallas(
     )(
         vbase.astype(jnp.int32).reshape(1, nc * nb),
         tbase.reshape(nc * nb // v_blk, 1, v_blk * bm8),
+        brows.reshape(1, nc * nb),
         bitmaps.astype(jnp.int32).reshape(nc * pr // 8, NG),
         values.astype(jnp.int32),
     )
