@@ -1,0 +1,86 @@
+"""Golden `.alc` fixture tests — wire freeze + cross-implementation interop.
+
+Two fixture tiers, one deterministic input matrix (the closed-form
+pattern in ``alice_codec_tpu/utils/golden.py``, reproduced exactly by the
+off-rig Rust generator ``tools/golden/src/main.rs``):
+
+* ``tests/golden/self/`` — containers produced by THIS package, committed.
+  Re-encoding must reproduce them byte-exactly (wire freeze), and decoding
+  them must reproduce the manifest's RGB digest (decode freeze).
+* ``tests/golden/reference/`` — containers produced by the COMPILED Rust
+  reference (generated off-rig; see tools/golden/README.md).  When
+  present: our decoder must decode the reference's bytes to the
+  reference's exact committed RGB, and our encoder's bytes must equal the
+  reference encoder's bytes (the pipeline is deterministic integer math,
+  reference src/pipeline.rs:377-506).  Skipped until the fixtures are
+  committed — the generator needs cargo, which this rig does not have.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+from alice_codec_tpu import EncodedChunk, FrameDecoder, FrameEncoder
+from alice_codec_tpu.utils.golden import golden_rgb
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SELF = os.path.join(_HERE, "golden", "self")
+_REF = os.path.join(_HERE, "golden", "reference")
+
+
+def _load_manifest(d):
+    path = os.path.join(d, "manifest.json")
+    if not os.path.isfile(path):
+        return []
+    with open(path) as fh:
+        return json.load(fh)["fixtures"]
+
+
+def _params(d):
+    recs = _load_manifest(d)
+    return [pytest.param(r, id=r["name"]) for r in recs]
+
+
+@pytest.mark.skipif(not _load_manifest(_SELF), reason="self goldens not generated")
+@pytest.mark.parametrize("rec", _params(_SELF))
+def test_self_golden_roundtrip(rec):
+    """Committed container decodes to the frozen RGB digest, and
+    re-encoding the deterministic input reproduces the bytes exactly."""
+    with open(os.path.join(_SELF, rec["name"] + ".alc"), "rb") as fh:
+        data = fh.read()
+    assert hashlib.sha256(data).hexdigest() == rec["alc_sha256"]
+    chunk = EncodedChunk.from_bytes(data)
+    out = FrameDecoder().decode(chunk)
+    digest = hashlib.sha256(np.asarray(out, np.uint8).tobytes()).hexdigest()
+    assert digest == rec["rgb_sha256"], "decode output drifted from golden"
+
+    rgb = golden_rgb(rec["w"], rec["h"], rec["f"]).reshape(-1)
+    chunk2 = FrameEncoder(quality=rec["quality"], wavelet=rec["wavelet"]).encode(
+        rgb, rec["w"], rec["h"], rec["f"])
+    assert chunk2.to_bytes() == data, "encoder bytes drifted from golden"
+
+
+@pytest.mark.skipif(not _load_manifest(_REF),
+                    reason="reference goldens not committed yet "
+                           "(needs off-rig cargo run — tools/golden/README.md)")
+@pytest.mark.parametrize("rec", _params(_REF))
+def test_reference_golden_interop(rec):
+    """Decode the compiled reference's bytes bit-exactly, and match its
+    encoder byte-for-byte on the same deterministic input."""
+    with open(os.path.join(_REF, rec["name"] + ".alc"), "rb") as fh:
+        ref_bytes = fh.read()
+    with open(os.path.join(_REF, rec["name"] + ".rgb"), "rb") as fh:
+        ref_rgb = np.frombuffer(fh.read(), np.uint8)
+    chunk = EncodedChunk.from_bytes(ref_bytes)
+    out = np.asarray(FrameDecoder().decode(chunk), np.uint8)
+    np.testing.assert_array_equal(out, ref_rgb)
+
+    rgb = golden_rgb(rec["w"], rec["h"], rec["f"]).reshape(-1)
+    ours = FrameEncoder(quality=rec["quality"], wavelet=rec["wavelet"]).encode(
+        rgb, rec["w"], rec["h"], rec["f"]).to_bytes()
+    assert ours == ref_bytes
