@@ -328,7 +328,15 @@ def _bucket_nv(need_rows: int, s_seg: int, max_nv: int | None = None) -> int:
     ``max_nv``: the dense plane's segment count (a DEFAULT_V_SEG
     multiple) — the bucket is clamped to it so a near-dense plane never
     rounds up past the from_bytes capacity bound (the value plane can
-    never need more rows than the dense plane has)."""
+    never need more rows than the dense plane has).
+
+    ``need_rows == 0`` returns 0 — the plane has no nonzero symbols at
+    all, and the wire elides it entirely (kcap 0: no bitmap or value
+    streams; the decoder reconstructs exact zeros).  Callers that must
+    keep a plane coded (the mesh paths, whose phase-2 program is shared
+    across shards) clamp the result themselves."""
+    if need_rows == 0:
+        return 0
     nvu = max(DEFAULT_V_SEG, -(-need_rows // s_seg))
     nvu = -(-nvu // DEFAULT_V_SEG) * DEFAULT_V_SEG
     g = 1 << max((DEFAULT_V_SEG - 1).bit_length(), (nvu - 1).bit_length() - 3)
@@ -338,25 +346,50 @@ def _bucket_nv(need_rows: int, s_seg: int, max_nv: int | None = None) -> int:
     return nvu
 
 
-@partial(jax.jit, static_argnames=("pp", "s_seg", "krs", "v_b"))
-def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b):
+def _sampled_len(n: int, stride: int = HIST_STRIDE) -> int:
+    """Length of pipeline._hist_sample's output for an ``n``-symbol plane
+    (used to synthesize the all-zeros histogram of an elided plane)."""
+    blk = stride * NG
+    nb = n // blk
+    return nb * NG if nb else n
+
+
+@partial(jax.jit, static_argnames=("pp", "s_seg", "krs", "v_b",
+                                   "wire_active", "wire_nc"))
+def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b,
+                         wire_active=None, wire_nc=None):
     """Sparse phase 2: Pallas compact → bitmap + value planes → entropy
     kernels.
 
-    ``symbols``: (nc, pp) uint8 (nc = 3 channels, or 6 lo/hi byte planes
-    for deep×sparse); ``krs``: per-plane value capacity rows (kcap_c =
-    krs[c]·128, segment-aligned — planes differ: chroma is far sparser
-    than luma).  Returns (streams, counts, hists) with the bitmap
-    group's nc·nb streams first, then each plane's value streams."""
+    ``symbols``: (npv, pp) uint8 — the PROVIDED planes (all wire planes,
+    or only the transform-active subset when the encoder elided zero
+    channels); ``krs``: per-provided-plane value capacity rows (kcap =
+    krs[i]·128, segment-aligned — planes differ: chroma is far sparser
+    than luma).  ``krs[i] == 0`` elides plane i from the wire entirely
+    (no bitmap or value streams — a plane with zero nonzero symbols has
+    an all-zero bitmap, so kcap 0 alone reconstructs it exactly).
+
+    ``wire_active``: wire plane index of each provided plane (default
+    ``range(npv)``); ``wire_nc``: total wire planes (default npv).  The
+    returned hists are in FULL wire layout ``(2·wire_nc, 256)`` —
+    bitmap rows then value rows, with synthesized rows (all-zeros plane
+    histogram / zeros) for elided planes.  Streams/counts carry the
+    CODED planes only: the bitmap group's ``na·nb`` streams first (wire
+    plane order), then each coded plane's value streams."""
     br = BLOCK_ROWS
-    nc = symbols.shape[0]
+    npv = symbols.shape[0]
+    if wire_active is None:
+        wire_active = tuple(range(npv))
+    if wire_nc is None:
+        wire_nc = npv
+    coded = tuple(i for i in range(npv) if krs[i] > 0)
     _, nbk = block_geometry(pp, br)
     # per-TILE nonzero counts → ceil rows per tile → rows per kernel
     # block (wire v5 tile-major padding; must agree with
     # sparse_kernels.block_value_rows / value_row_bases exactly)
     blk = TILE_ROWS * NG
     cnt = jnp.sum(
-        (symbols.reshape(nc, nbk, br // TILE_ROWS, blk) != 0
+        (symbols.reshape(npv, nbk, br // TILE_ROWS, blk) != 0
          ).astype(jnp.int32), axis=-1)
     rows = jnp.sum(-(-cnt // NG), axis=-1)
     # clamp to capacity: encode() dispatches phase 2 OPTIMISTICALLY with
@@ -372,34 +405,56 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b):
     from .ops.quant import build_histogram
     from .pipeline import _hist_sample
 
-    # per-plane value slices (capacity rows only; mask the UNSPECIFIED
-    # rows between ch_rows and capacity to the zero padding symbol)
-    values = []
-    for c in range(nc):
+    # per-CODED-plane value slices (capacity rows only; mask the
+    # UNSPECIFIED rows between ch_rows and capacity to the zero padding
+    # symbol)
+    values = {}
+    for c in coded:
         region = jax.lax.dynamic_slice_in_dim(vals, bases[c], krs[c])
         ridx = jnp.arange(krs[c], dtype=jnp.int32)
         region = jnp.where(ridx[:, None] < ch_rows[c], region, 0)
-        values.append(region.reshape(krs[c] * NG).astype(jnp.uint8))
-    hists = jnp.concatenate([
-        jax.vmap(build_histogram)(_hist_sample(bitmaps, HIST_STRIDE)),
-        jnp.stack([
-            build_histogram(_hist_sample(v[None, :], HIST_STRIDE))
-            for v in values
-        ]),
-    ])
-    bm_thists = _table_hists(hists[:nc], pp // 8, s_seg=s_seg, v_seg=v_b)
-    bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
+        values[c] = region.reshape(krs[c] * NG).astype(jnp.uint8)
+    bm_hists = jax.vmap(build_histogram)(_hist_sample(bitmaps, HIST_STRIDE))
+    # full wire-layout histogram block: real rows for provided planes,
+    # synthesized rows for elided ones (an elided plane's true bitmap
+    # histogram is all mass at 0; its value plane has no symbols)
+    zero_bm_hist = jnp.zeros((256,), jnp.uint32).at[0].set(
+        _sampled_len(pp // 8))
+    zero_v_hist = jnp.zeros((256,), jnp.uint32)
+    pos = {w: i for i, w in enumerate(wire_active)}
+    hist_rows = []
+    for w in range(wire_nc):
+        hist_rows.append(bm_hists[pos[w]] if w in pos else zero_bm_hist)
+    for w in range(wire_nc):
+        i = pos.get(w)
+        if i is not None and i in coded:
+            hist_rows.append(build_histogram(
+                _hist_sample(values[i][None, :], HIST_STRIDE)))
+        else:
+            hist_rows.append(zero_v_hist)
+    hists = jnp.stack(hist_rows)
+
+    streams, counts = [], []
     nb, mb = _segment_geometry(pp // 8, s_seg, v_b)
-    bmseg = bitmaps.astype(jnp.int32)
-    if mb != pp // 8:
-        bmseg = jnp.pad(bmseg, ((0, 0), (0, mb - pp // 8)))
-    streams_b, counts_b = encode_words_pallas(
-        bmseg.reshape(nc * nb, s_seg, NG), bm_freqs, bm_cums, v_seg=v_b)
+    if coded:
+        bm_coded = (bitmaps if len(coded) == npv
+                    else jnp.stack([bitmaps[c] for c in coded]))
+        bmh = jnp.stack([hists[wire_active[c]] for c in coded])
+        bm_thists = _table_hists(bmh, pp // 8, s_seg=s_seg, v_seg=v_b)
+        bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
+        bmseg = bm_coded.astype(jnp.int32)
+        if mb != pp // 8:
+            bmseg = jnp.pad(bmseg, ((0, 0), (0, mb - pp // 8)))
+        streams_b, counts_b = encode_words_pallas(
+            bmseg.reshape(len(coded) * nb, s_seg, NG), bm_freqs, bm_cums,
+            v_seg=v_b)
+        streams.append(streams_b)
+        counts.append(counts_b)
     # one dispatch per value plane (value planes are coded at exactly
     # their own kcap_c symbols, each with its own table)
-    streams, counts = [streams_b], [counts_b]
-    for c in range(nc):
-        vf, vc = jax.vmap(freq_table_device)(hists[nc + c : nc + c + 1])
+    for c in coded:
+        vf, vc = jax.vmap(freq_table_device)(
+            hists[wire_nc + wire_active[c] : wire_nc + wire_active[c] + 1])
         s_v, c_v = encode_words_pallas(
             values[c].astype(jnp.int32).reshape(
                 krs[c] // s_seg, s_seg, NG),
@@ -417,35 +472,50 @@ def _sparse_entropy_expand(streams, counts, hists, *, p, s_seg, kcaps,
                            v_b, nc=3):
     """Sparse decode front half: bitmap + per-plane value entropy groups
     → expand → (nc, p) uint8 symbols (shared by the fixed-step, RDO, and
-    deep sparse decoders).  ``kcaps``: per-plane value capacities."""
+    deep sparse decoders).  ``kcaps``: per-plane value capacities —
+    ``kcap == 0`` marks an ELIDED plane (zero nonzero symbols; no bitmap
+    or value streams on the wire) that reconstructs to exact zeros."""
     br = BLOCK_ROWS
     pp = _sparse_pp(p)
-    krs = tuple(k // NG for k in kcaps)
-    bm_thists = _table_hists(hists[:nc], pp // 8, s_seg=s_seg, v_seg=v_b)
+    coded = tuple(c for c in range(nc) if kcaps[c] > 0)
+    na = len(coded)
+    if na == 0:
+        return jnp.zeros((nc, p), jnp.uint8)
+    krs = tuple(kcaps[c] // NG for c in coded)
+    bmh = jnp.stack([hists[c] for c in coded])
+    bm_thists = _table_hists(bmh, pp // 8, s_seg=s_seg, v_seg=v_b)
     bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
     nb, _ = _segment_geometry(pp // 8, s_seg, v_b)
     bm = decode_words_pallas(
-        streams[: nc * nb], counts[: nc * nb], bm_freqs, bm_cums,
+        streams[: na * nb], counts[: na * nb], bm_freqs, bm_cums,
         s_seg=s_seg, v_seg=v_b,
-    ).reshape(nc, -1)[:, : pp // 8]
+    ).reshape(na, -1)[:, : pp // 8]
     # per-plane value decode, padded with the br-row DMA margin each
     parts = []
-    row0 = nc * nb
-    for c in range(nc):
-        nv = krs[c] // s_seg
+    row0 = na * nb
+    for i, c in enumerate(coded):
+        nv = krs[i] // s_seg
         vf, vc = jax.vmap(freq_table_device)(hists[nc + c : nc + c + 1])
         v = decode_words_pallas(
             streams[row0 : row0 + nv], counts[row0 : row0 + nv], vf, vc,
             s_seg=s_seg, v_seg=_pick_v_seg(nv),
-        ).reshape(krs[c], NG)
+        ).reshape(krs[i], NG)
         parts.append(jnp.pad(v, ((0, br), (0, 0))))
         row0 += nv
     vals = jnp.concatenate(parts, axis=0)
     vbase, _ = value_row_bases(bm.astype(jnp.uint8), pp, krs, br=br)
     _, nbk = block_geometry(pp, br)
-    symbols = expand_pallas(
-        bm, vals, vbase, p=pp, kr=krs, br=br, v_blk=_pick_v_blk(nbk))
-    return symbols[:, :p].astype(jnp.uint8)
+    sym_act = expand_pallas(
+        bm, vals, vbase, p=pp, kr=krs, br=br, v_blk=_pick_v_blk(nbk)
+    )[:, :p].astype(jnp.uint8)
+    if na == nc:
+        return sym_act
+    # scatter coded planes into the full layout; elided planes are zeros
+    zero = jnp.zeros((p,), jnp.uint8)
+    idx = {c: i for i, c in enumerate(coded)}
+    return jnp.stack([
+        sym_act[idx[c]] if c in idx else zero for c in range(nc)
+    ])
 
 
 @partial(jax.jit, static_argnames=(
@@ -460,6 +530,7 @@ def _decode_chunk_sparse(streams, counts, hists, steps, *, wavelet_type,
     return decode_device(
         symbols, steps, steps, wavelet_type=wavelet_type, dims=dims,
         padded=padded, exact=exact, levels=levels, interleaved=True,
+        active=tuple(c for c in range(3) if kcaps[c] > 0),
     )
 
 
@@ -502,11 +573,16 @@ def _decode_batch_sparse(streams, counts, hists, steps, *, wavelet_type,
         streams, counts, hh, p=p, s_seg=s_seg, kcaps=kcaps, v_b=v_b,
         nc=3 * b)
     symbols = symbols.reshape(b, 3, p)
+    # zero-channel elision through the inverse transform when every
+    # chunk shares the same active set (the common batched case)
+    acts = {tuple(c for c in range(3) if kcaps[3 * i + c] > 0)
+            for i in range(b)}
+    active = acts.pop() if len(acts) == 1 else None
     return jax.lax.map(
         lambda args: decode_device(
             args[0], args[1], args[1], wavelet_type=wavelet_type,
             dims=dims, padded=padded, exact=exact, levels=levels,
-            interleaved=True,
+            interleaved=True, active=active,
         ),
         (symbols, steps.astype(jnp.int32)),
     )
@@ -530,28 +606,30 @@ def _decode_chunk_sparse_deep(streams, counts, hists, steps, *,
 
 
 @partial(jax.jit, static_argnames=(
-    "wavelet_type", "padded", "pp", "levels"))
+    "wavelet_type", "padded", "pp", "levels", "active"))
 def _sparse_phase1_batch(rgb_batch, step, dead_zone, *, wavelet_type,
-                         padded, pp, levels=1):
-    """Batched sparse phase 1: (B,T,H,W,3) → ((B·3, pp) symbols,
-    (B·3,) value-row counts) in ONE dispatch.
+                         padded, pp, levels=1, active=(0, 1, 2)):
+    """Batched sparse phase 1: (B,T,H,W,3) → ((B·na, pp) symbols,
+    (B·na,) value-row counts, (B, 3) flags) in ONE dispatch.
 
     ``lax.map`` over the chunk axis (not vmap): the per-chunk transform
     body compiles once and chunks execute sequentially inside the one
     program — a chunk already saturates the chip, and the vmapped
     1080p-scale transform is a known remote-compiler pathology
-    (parallel/batch.py round-2 note)."""
+    (parallel/batch.py round-2 note).  ``active``: the shared
+    zero-channel-elision set (pipeline.encode_sparse_phase1)."""
     from .pipeline import encode_sparse_phase1
 
     b = rgb_batch.shape[0]
-    symbols, ch_rows = jax.lax.map(
+    na = len(active)
+    symbols, ch_rows, flags = jax.lax.map(
         lambda r: encode_sparse_phase1(
             r, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
-            pp=pp, levels=levels, interleaved=True,
+            pp=pp, levels=levels, interleaved=True, active=active,
         ),
         rgb_batch,
-    )                                     # (B,3,pp), (B,3)
-    return symbols.reshape(b * 3, pp), ch_rows.reshape(b * 3)
+    )                                     # (B,na,pp), (B,na), (B,3)
+    return symbols.reshape(b * na, pp), ch_rows.reshape(b * na), flags
 
 
 @partial(jax.jit, static_argnames=("padded", "pp"))
@@ -746,7 +824,9 @@ class Alc3Codec:
 
     # ── device path (HBM-resident, zero host traffic) ───────────
 
-    def _sparse_encode_planes(self, symbols, ch_rows, pp):
+    def _sparse_encode_planes(self, symbols, ch_rows, pp, *,
+                              wire_active=None, wire_nc=None,
+                              chunk_planes=3):
         """Optimistic per-plane capacity bucketing + phase-2 dispatch.
 
         Phase 2 dispatches immediately with the cached per-plane
@@ -755,57 +835,84 @@ class Alc3Codec:
         guess and only an overflow re-dispatches with larger buckets
         (the in-graph vbase clamp keeps the optimistic run's DMAs in
         bounds).  Steady streams of similar content pay zero extra
-        dispatches.  Returns ``(streams, counts, hists, krs)`` for the
-        ``nc = symbols.shape[0]`` planes.
+        dispatches.
+
+        ``symbols``: the PROVIDED planes (transform-elided zero planes
+        may be absent — ``wire_active`` maps each to its wire index of
+        ``wire_nc`` total).  Planes whose row count is 0 get bucket 0 —
+        ELIDED from the wire entirely (kcap 0; no bitmap or value
+        streams).  The first plane of each chunk (every
+        ``chunk_planes``-th wire plane) is kept coded at the minimum
+        bucket so a chunk always has at least one segment
+        (from_bytes rejects stream-less chunks).  Returns ``(streams,
+        counts, hists, kcaps)`` with hists/kcaps in FULL wire layout.
         """
         nb, _ = _segment_geometry(pp // 8, self.s_seg)
-        nc = symbols.shape[0]
+        npv = symbols.shape[0]
+        if wire_active is None:
+            wire_active = tuple(range(npv))
+        if wire_nc is None:
+            wire_nc = npv
         # bucket ceiling: the dense plane's own segment count (a value
         # plane can never need more rows than the dense plane has, and
         # from_bytes validates capacities against this bound)
         max_nv = _segment_geometry(pp, self.s_seg)[0]
+
+        def bucket(r: int, w: int) -> int:
+            if r == 0 and w % chunk_planes == 0:
+                # chunk-anchor plane: keep one minimum-capacity coded
+                # plane per chunk
+                return DEFAULT_V_SEG * self.s_seg
+            return _bucket_nv(r, self.s_seg, max_nv) * self.s_seg
+
         # capacities are a function of the chunk GEOMETRY, not just the
-        # plane count — cache per (nc, pp, s_seg) so mixed-shape encodes
-        # through one codec never leak a big chunk's buckets into a
-        # small chunk's wire (whose from_bytes bound they would exceed)
+        # plane count — cache per (wire layout, pp, s_seg) so mixed-shape
+        # encodes through one codec never leak a big chunk's buckets into
+        # a small chunk's wire (whose from_bytes bound they would exceed)
         cache = getattr(self, "_krs_cache", None)
         if not isinstance(cache, dict):
             cache = {}
             self._krs_cache = cache
-        key = (nc, pp, self.s_seg)
+        key = (wire_active, wire_nc, pp, self.s_seg)
         krs = cache.get(key)
         if krs is None:
             # cold start: size the buckets from the actual counts rather
             # than paying a throwaway compile of a too-small phase 2
             rows = np.asarray(ch_rows)
             krs = tuple(
-                _bucket_nv(int(r), self.s_seg, max_nv) * self.s_seg
-                for r in rows)
+                bucket(int(r), w) for r, w in zip(rows, wire_active))
         for _attempt in range(8):
             streams, counts, hists = _encode_chunk_sparse(
                 symbols, ch_rows, pp=pp, s_seg=self.s_seg, krs=krs,
-                v_b=_pick_v_seg(nb),
+                v_b=_pick_v_seg(nb), wire_active=wire_active,
+                wire_nc=wire_nc,
             )
-            rows = np.asarray(ch_rows)  # tiny fetch (4·nc bytes)
+            rows = np.asarray(ch_rows)  # tiny fetch (4·npv bytes)
             if all(int(r) <= k for r, k in zip(rows, krs)):
                 break
             krs = tuple(
-                max(k, _bucket_nv(int(r), self.s_seg, max_nv) * self.s_seg)
-                for r, k in zip(rows, krs))
+                max(k, bucket(int(r), w))
+                for r, k, w in zip(rows, krs, wire_active))
         cache[key] = krs
-        return streams, counts, hists, krs
+        kcaps = [0] * wire_nc
+        for i, w in enumerate(wire_active):
+            kcaps[w] = krs[i] * NG
+        return streams, counts, hists, tuple(kcaps)
 
     def _sparse_phase2(self, symbols, ch_rows, pp, w, h, t, *,
-                       band_steps, deep=False) -> DeviceChunk:
+                       band_steps, deep=False,
+                       wire_active=None) -> DeviceChunk:
         """Shared sparse phase 2 (see :meth:`_sparse_encode_planes`)."""
-        streams, counts, hists, krs = self._sparse_encode_planes(
-            symbols, ch_rows, pp)
+        wire_nc = 6 if deep else 3
+        streams, counts, hists, kcaps = self._sparse_encode_planes(
+            symbols, ch_rows, pp, wire_active=wire_active,
+            wire_nc=wire_nc, chunk_planes=wire_nc)
         return DeviceChunk(
             w, h, t, self.wavelet_type, self.step if band_steps is None
             else int(band_steps.min()), self.s_seg,
             streams, counts, hists, band_steps=band_steps, deep=deep,
             levels=self.levels, sparse=True,
-            kcaps=tuple(k * NG for k in krs),
+            kcaps=kcaps,
         )
 
     def encode(self, rgb) -> DeviceChunk:
@@ -866,13 +973,39 @@ class Alc3Codec:
                 return self._sparse_phase2(
                     planes, ch_rows, pp, w, h, t, band_steps=None,
                     deep=True)
-            symbols, ch_rows = encode_sparse_phase1(
-                jnp.asarray(rgb), jnp.int32(self.step), jnp.int32(self.step),
+            # zero-channel elision: transform only the channels the last
+            # same-geometry chunk needed (optimistic — the flags fetch
+            # below validates; grayscale content costs 1/3 the transform
+            # and codes only the luma planes)
+            acache = getattr(self, "_active_cache", None)
+            if not isinstance(acache, dict):
+                acache = {}
+                self._active_cache = acache
+            akey = (pp, self.s_seg)
+            active = acache.get(akey, (0, 1, 2))
+            rgb_j = jnp.asarray(rgb)
+            symbols, ch_rows, flags = encode_sparse_phase1(
+                rgb_j, jnp.int32(self.step), jnp.int32(self.step),
                 wavelet_type=self.wavelet_type, padded=padded, pp=pp,
-                levels=self.levels, interleaved=True,
+                levels=self.levels, interleaved=True, active=active,
             )
-            return self._sparse_phase2(
-                symbols, ch_rows, pp, w, h, t, band_steps=None)
+            chunk = self._sparse_phase2(
+                symbols, ch_rows, pp, w, h, t, band_steps=None,
+                wire_active=active)
+            fl = np.asarray(flags)
+            needed = tuple(sorted({0} | {c for c in range(3) if fl[c]}))
+            if any(c not in active for c in needed):
+                # a channel assumed zero is nonzero — full re-dispatch
+                symbols, ch_rows, flags = encode_sparse_phase1(
+                    rgb_j, jnp.int32(self.step), jnp.int32(self.step),
+                    wavelet_type=self.wavelet_type, padded=padded, pp=pp,
+                    levels=self.levels, interleaved=True, active=needed,
+                )
+                chunk = self._sparse_phase2(
+                    symbols, ch_rows, pp, w, h, t, band_steps=None,
+                    wire_active=needed)
+            acache[akey] = needed
+            return chunk
         if self.deep:
             streams, counts, hists = _encode_chunk_deep(
                 jnp.asarray(rgb),
@@ -1033,33 +1166,58 @@ class Alc3Codec:
         p = int(np.prod(padded))
         pp = _sparse_pp(p)
         step = jnp.int32(self.step)
-        symbols, ch_rows = _sparse_phase1_batch(
-            jnp.asarray(rgb_batch), step, step,
-            wavelet_type=self.wavelet_type, padded=padded, pp=pp,
-            levels=self.levels,
-        )
-        streams, counts, hists, krs = self._sparse_encode_planes(
-            symbols, ch_rows, pp)
-        # split the B·3-plane result into B self-contained DeviceChunks:
-        # plane order is [all bitmaps (chunk-major)][all value planes]
+        rgb_j = jnp.asarray(rgb_batch)
+        # zero-channel elision, batch-wide (optimistic cache + flags
+        # validation — see encode()); all chunks share one phase-1
+        # program, so the active set is the batch union
+        acache = getattr(self, "_active_cache", None)
+        if not isinstance(acache, dict):
+            acache = {}
+            self._active_cache = acache
+        akey = (b, pp, self.s_seg)
+        active = acache.get(akey, (0, 1, 2))
+        for _attempt in range(2):
+            symbols, ch_rows, flags = _sparse_phase1_batch(
+                rgb_j, step, step, wavelet_type=self.wavelet_type,
+                padded=padded, pp=pp, levels=self.levels, active=active,
+            )
+            wire_active = tuple(
+                3 * i + c for i in range(b) for c in active)
+            streams, counts, hists, kcaps = self._sparse_encode_planes(
+                symbols, ch_rows, pp, wire_active=wire_active,
+                wire_nc=3 * b, chunk_planes=3)
+            fl = np.asarray(flags)
+            needed = tuple(sorted(
+                {0} | {c for c in range(3) if fl[:, c].any()}))
+            acache[akey] = needed
+            if all(c in active for c in needed):
+                break
+            active = needed  # wrong guess — full re-dispatch
+        # split the result into B self-contained DeviceChunks: streams
+        # hold CODED planes only, ordered [all bitmap groups (wire plane
+        # order)][all coded value planes (wire plane order)]
         nb, _ = _segment_geometry(pp // 8, self.s_seg)
-        nvs = [k // self.s_seg for k in krs]
-        voff = [3 * b * nb]
-        for nv in nvs:
-            voff.append(voff[-1] + nv)
+        nvs = [k // (self.s_seg * NG) for k in kcaps]     # per wire plane
+        ncoded = [1 if k > 0 else 0 for k in kcaps]
+        bm_off = np.concatenate([[0], np.cumsum(ncoded)]) * nb
+        total_bm = int(bm_off[-1])
+        v_off = total_bm + np.concatenate([[0], np.cumsum(nvs)])
         chunks = []
         for i in range(b):
-            bm = slice(3 * i * nb, 3 * (i + 1) * nb)
-            v0, v1 = voff[3 * i], voff[3 * i + 3]
+            rs = []
+            b0, b1 = int(bm_off[3 * i]), int(bm_off[3 * i + 3])
+            v0, v1 = int(v_off[3 * i]), int(v_off[3 * i + 3])
+            rs = [streams[b0:b1], streams[v0:v1]]
+            cs = [counts[b0:b1], counts[v0:v1]]
             chunks.append(DeviceChunk(
                 w, h, t, self.wavelet_type, self.step, self.s_seg,
-                jnp.concatenate([streams[bm], streams[v0:v1]], axis=0),
-                jnp.concatenate([counts[bm], counts[v0:v1]], axis=0),
+                jnp.concatenate(rs, axis=0),
+                jnp.concatenate(cs, axis=0),
                 jnp.concatenate(
                     [hists[3 * i : 3 * i + 3],
                      hists[3 * b + 3 * i : 3 * b + 3 * i + 3]], axis=0),
                 levels=self.levels, sparse=True,
-                kcaps=tuple(k * NG for k in krs[3 * i : 3 * i + 3]),
+                kcaps=tuple(kcaps[3 * i : 3 * i + 3]),
             ))
         return chunks
 
@@ -1092,14 +1250,17 @@ class Alc3Codec:
                 rb, step, step, wavelet_type=self.wavelet_type,
                 padded=padded, pp=pp, levels=self.levels)
 
-        symbols, ch_rows = jax.jit(jax.shard_map(
+        symbols, ch_rows, _flags = jax.jit(jax.shard_map(
             f1, mesh=mesh, in_specs=P(axis),
-            out_specs=(P(axis), P(axis)), check_vma=False,
+            out_specs=(P(axis), P(axis), P(axis)), check_vma=False,
         ))(jnp.asarray(rgb_batch))
         rows = np.asarray(ch_rows).reshape(b, 3)  # tiny fetch
         max_nv = _segment_geometry(pp, self.s_seg)[0]
+        # no plane elision over the mesh: every shard must trace the
+        # same phase-2 program, so empty planes keep the minimum bucket
         krs3 = tuple(
-            _bucket_nv(int(rows[:, c].max()), self.s_seg, max_nv)
+            max(_bucket_nv(int(rows[:, c].max()), self.s_seg, max_nv),
+                DEFAULT_V_SEG)
             * self.s_seg
             for c in range(3)
         )
@@ -1117,9 +1278,19 @@ class Alc3Codec:
         ))(symbols, ch_rows)
 
         # shard-major result layout: per shard [3·bl bitmap groups]
-        # [bl×3 value planes]; hists per shard [3·bl bitmap][3·bl value]
+        # [bl×3 value planes]; hists per shard [3·bl bitmap][3·bl value].
+        # The per-chunk split is HOST-mediated (device_get per shard →
+        # numpy slices → restage): eager cross-shard concatenates lower
+        # to in-process all-gathers, which deadlock on hosts with fewer
+        # cores than simulated devices (XLA CPU rendezvous needs every
+        # participant executing concurrently) — and on real meshes the
+        # split is interchange, not compute, so the host hop is off the
+        # hot path.
         nvs = [k // self.s_seg for k in krs3]
         shard_rows = 3 * bl * nb + bl * sum(nvs)
+        streams_np = np.asarray(jax.device_get(streams))
+        counts_np = np.asarray(jax.device_get(counts))
+        hists_np = np.asarray(jax.device_get(hists))
         chunks = []
         for i in range(b):
             s, j = divmod(i, bl)
@@ -1130,12 +1301,14 @@ class Alc3Codec:
             hs = s * 6 * bl
             chunks.append(DeviceChunk(
                 w, h, t, self.wavelet_type, self.step, self.s_seg,
-                jnp.concatenate([streams[bm], streams[v0:v1]], axis=0),
-                jnp.concatenate([counts[bm], counts[v0:v1]], axis=0),
-                jnp.concatenate(
-                    [hists[hs + 3 * j : hs + 3 * j + 3],
-                     hists[hs + 3 * bl + 3 * j : hs + 3 * bl + 3 * j + 3]],
-                    axis=0),
+                jnp.asarray(np.concatenate(
+                    [streams_np[bm], streams_np[v0:v1]], axis=0)),
+                jnp.asarray(np.concatenate(
+                    [counts_np[bm], counts_np[v0:v1]], axis=0)),
+                jnp.asarray(np.concatenate(
+                    [hists_np[hs + 3 * j : hs + 3 * j + 3],
+                     hists_np[hs + 3 * bl + 3 * j : hs + 3 * bl + 3 * j + 3]],
+                    axis=0)),
                 levels=self.levels, sparse=True,
                 kcaps=tuple(k * NG for k in krs3),
             ))
@@ -1193,6 +1366,7 @@ class Alc3Codec:
                 np.prod(mesh.devices.shape)) == 0 and all(
             c.sparse and not c.deep and c.band_steps is None
             and c.kcaps == c0.kcaps
+            and all(k > 0 for k in c.kcaps)  # mesh path: no elided planes
             and (c.width, c.height, c.frames, c.s_seg, c.levels,
                  c.wavelet_type)
             == (c0.width, c0.height, c0.frames, c0.s_seg, c0.levels,
@@ -1217,12 +1391,15 @@ class Alc3Codec:
             padded = padded_dims_levels(w, h, t, c0.levels)
             pp = _sparse_pp(int(np.prod(padded)))
             nb, _ = _segment_geometry(pp // 8, c0.s_seg)
+            # a chunk's bitmap group covers its CODED planes only
+            # (kcap == 0 ⇒ the plane is elided from the wire)
+            bmr = [sum(1 for k in c.kcaps if k > 0) * nb for c in chunks]
             streams = jnp.concatenate(
-                [c.streams[: 3 * nb] for c in chunks]
-                + [c.streams[3 * nb :] for c in chunks], axis=0)
+                [c.streams[:r] for c, r in zip(chunks, bmr)]
+                + [c.streams[r:] for c, r in zip(chunks, bmr)], axis=0)
             counts = jnp.concatenate(
-                [c.counts[: 3 * nb] for c in chunks]
-                + [c.counts[3 * nb :] for c in chunks], axis=0)
+                [c.counts[:r] for c, r in zip(chunks, bmr)]
+                + [c.counts[r:] for c, r in zip(chunks, bmr)], axis=0)
             hists = jnp.stack([c.hists for c in chunks])  # (B, 6, 256)
             steps = jnp.asarray(
                 [[c.quant_step] * 3 for c in chunks], jnp.int32)
@@ -1305,9 +1482,13 @@ class Alc3Codec:
                 pp = _sparse_pp(p)
                 nbm = 6 if ck.deep else 3  # byte planes → bitmap planes
                 nb, _ = _segment_geometry(pp // 8, ck.s_seg)
-                plane_geom = ([(nb, pp // 8)] * nbm
-                              + [(k // (ck.s_seg * NG), k)
-                                 for k in ck.kcaps])
+                # kcap == 0 ⇒ ELIDED plane (zero nonzero symbols): both
+                # its bitmap and value sections carry num_symbols 0 and
+                # no segments — the decoder reconstructs exact zeros
+                plane_geom = (
+                    [(nb, pp // 8) if k > 0 else (0, 0)
+                     for k in ck.kcaps]
+                    + [(k // (ck.s_seg * NG), k) for k in ck.kcaps])
             else:
                 plane_geom = [(ck.n_segments, p)] * ck.n_planes
             row0 = 0
@@ -1377,6 +1558,7 @@ class Alc3Codec:
             hists = np.zeros((n_planes, 256), np.uint32)
             counts_list = []
             kcaps = []
+            bm_elided = []
             step = 1
             seg = s_seg * NG
             for ch in range(n_planes):
@@ -1384,10 +1566,26 @@ class Alc3Codec:
                     raise InvalidBitstream("truncated ALC3 header section")
                 hdr = ChannelHeader.from_bytes(data[off : off + 1040])
                 off += 1040
+                if sparse and ch >= nbm and hdr.num_symbols == 0:
+                    # ELIDED plane's value section (kcap 0, no streams);
+                    # its bitmap section must have been elided too
+                    if not bm_elided[ch - nbm]:
+                        raise InvalidBitstream(
+                            "sparse value capacity 0 for a coded bitmap"
+                        )
+                    kcaps.append(0)
+                    hists[ch] = hdr.histogram
+                    step = hdr.quant_step
+                    counts_list.append(np.zeros((0,), np.int64))
+                    if hdr.compressed_len:
+                        raise InvalidBitstream(
+                            "elided plane with nonzero payload"
+                        )
+                    continue
                 if sparse and ch >= nbm:
                     # value plane: capacity comes from its own header
                     # (planes carry independent capacities)
-                    if hdr.num_symbols % seg or hdr.num_symbols == 0:
+                    if hdr.num_symbols % seg:
                         raise InvalidBitstream(
                             "sparse value capacity not segment-aligned"
                         )
@@ -1405,9 +1603,27 @@ class Alc3Codec:
                         raise InvalidBitstream(
                             "sparse value capacity exceeds the plane size"
                         )
+                    if bm_elided[ch - nbm]:
+                        raise InvalidBitstream(
+                            "coded value plane for an elided bitmap"
+                        )
                     kcaps.append(hdr.num_symbols)
                     plane_sym = hdr.num_symbols
                 elif sparse:
+                    if hdr.num_symbols == 0:
+                        # ELIDED plane's bitmap section — no streams;
+                        # consistency with the value section is checked
+                        # when that section parses (kcap must be 0)
+                        bm_elided.append(True)
+                        if hdr.compressed_len:
+                            raise InvalidBitstream(
+                                "elided plane with nonzero payload"
+                            )
+                        hists[ch] = hdr.histogram
+                        step = hdr.quant_step
+                        counts_list.append(np.zeros((0,), np.int64))
+                        continue
+                    bm_elided.append(False)
                     plane_sym = _sparse_pp(p) // 8
                     if hdr.num_symbols != plane_sym:
                         raise InvalidBitstream(

@@ -258,7 +258,8 @@ def encode_bands_device(
 
 
 @partial(jax.jit, static_argnames=(
-    "wavelet_type", "dims", "padded", "exact", "levels", "interleaved"))
+    "wavelet_type", "dims", "padded", "exact", "levels", "interleaved",
+    "active"))
 def decode_device(
     symbols: jnp.ndarray,
     step: jnp.ndarray,
@@ -270,6 +271,7 @@ def decode_device(
     exact: bool = False,
     levels: int = 1,
     interleaved: bool = False,
+    active: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
     """Fused device decode stage: symbols (3, P) uint8 → RGB (T,H,W,3) uint8.
 
@@ -277,13 +279,38 @@ def decode_device(
     channel headers).  ``exact`` selects the exact-undo wavelet inverse; the
     default replays the reference's negated-coefficient inverse for
     bit-identical output.
+
+    ``active`` (static): channels known to carry nonzero symbols — the
+    zero-channel elision mirror of :func:`encode_sparse_phase1`.  A
+    channel whose symbols are all zero dequantizes and inverse-lifts to
+    exactly zero, so the fused path runs the inverse kernels only over
+    the active channels and feeds zeros for the rest (bit-exact).  The
+    sparse decoder derives this from the per-plane capacities it
+    already holds statically (kcap == 0 ⟺ no nonzero symbols).
     """
     from .ops.pallas.lift_kernels import inverse_dequant_pallas, lift3d_ok
 
     w, h, t = dims
     pw, ph, pf = padded
     del dead_zone  # stored in headers but unused by dequantization
-    if interleaved and levels == 1 and lift3d_ok((3, pf, ph, pw), 2):
+    fused = (interleaved and levels == 1 and lift3d_ok((3, pf, ph, pw), 2))
+    if fused and active is not None and tuple(sorted(active)) != (0, 1, 2):
+        act = tuple(sorted(active))
+        sym4 = symbols.reshape(3, pf, ph, pw)
+        steps3 = step.astype(jnp.int32).reshape(-1)
+        if act:
+            sub = jnp.stack([sym4[c] for c in act])
+            vol = inverse_dequant_pallas(
+                sub, wavelet_type,
+                steps3[jnp.asarray(act, jnp.int32)], exact=exact)
+        zero = jnp.zeros((t, h, w), jnp.int16)
+        chans = [
+            (vol[act.index(c), :t, :h, :w].astype(jnp.int16)
+             if c in act else zero)
+            for c in range(3)
+        ]
+        return color.ycocg_r_to_rgb(chans[0], chans[1], chans[2])
+    if fused:
         # un-zigzag + dequantize run inside the temporal inverse
         # kernel's input pass — no XLA pass over the coefficient
         # volume, which lives in i16 (half the HBM traffic)
@@ -402,7 +429,7 @@ def decode_bands_device(
 
 
 @partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels", "pp",
-                                   "interleaved"))
+                                   "interleaved", "active"))
 def encode_sparse_phase1(
     rgb: jnp.ndarray,
     step: jnp.ndarray,
@@ -413,24 +440,57 @@ def encode_sparse_phase1(
     pp: int,
     levels: int = 1,
     interleaved: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    active: tuple[int, ...] = (0, 1, 2),
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sparse phase 1: transform + quantize + zigzag + value-row counts.
 
     ``pp``: channel symbol count padded to whole compaction blocks
-    (``alc3._sparse_pp``).  Returns ``(symbols (3, pp) uint8, ch_rows
-    (3,) int32 — value rows each channel needs under block-major
-    padding)``; symbols stay in HBM and the host fetches only the
-    12-byte row counts to pick the value-capacity bucket for phase 2."""
+    (``alc3._sparse_pp``).  Returns ``(symbols (na, pp) uint8, ch_rows
+    (na,) int32 — value rows each ACTIVE channel needs under tile-major
+    padding, flags (3,) bool — per-channel any-nonzero of the color
+    transform output)``; symbols stay in HBM and the host fetches only
+    the tiny row counts + flags to pick phase-2 capacities.
+
+    ``active`` (static) lists the channels to transform — the
+    zero-channel elision fast path: a channel whose YCoCg-R plane is
+    exactly zero (grayscale content ⇒ Co=Cg=0; black ⇒ all three)
+    lifts, quantizes and zigzags to exactly zero (``_delta(0,c)=0``,
+    ``quantize(0)=0``, ``zigzag(0)=0``), so skipping its transform is
+    bit-exact.  The caller dispatches OPTIMISTICALLY with a cached
+    active set and validates against ``flags`` (computed from the real
+    color output regardless of ``active``): any channel flagged nonzero
+    but not in ``active`` forces a full re-dispatch
+    (alc3._sparse_encode_planes)."""
+    from .ops.pallas.lift_kernels import forward_quant_pallas, lift3d_ok
     from .ops.pallas.sparse_kernels import block_value_rows
 
     pw, ph, pf = padded
     p = pf * ph * pw
-    symbols = _transform_symbols(
-        rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
-        levels=levels, interleaved=interleaved)
+    active = tuple(sorted(active))
+    fused = (interleaved and levels == 1 and lift3d_ok((3, pf, ph, pw), 2))
+    if fused:
+        chans = _color_pad(rgb, padded, dtype=jnp.int16)
+        flags = jnp.stack([jnp.any(chans[c] != 0) for c in range(3)])
+        s3 = jnp.broadcast_to(
+            jnp.asarray(step, jnp.int32).reshape(-1), (3,))
+        d3 = jnp.broadcast_to(
+            jnp.asarray(dead_zone, jnp.int32).reshape(-1), (3,))
+        sub = (chans if active == (0, 1, 2)
+               else jnp.stack([chans[c] for c in active]))
+        ai = jnp.asarray(active, jnp.int32)
+        symbols = forward_quant_pallas(
+            sub, wavelet_type, s3[ai], d3[ai]
+        ).reshape(len(active), p)
+    else:
+        symbols = _transform_symbols(
+            rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
+            levels=levels, interleaved=interleaved)
+        flags = jnp.ones((3,), bool)
+        if active != (0, 1, 2):
+            symbols = jnp.stack([symbols[c] for c in active])
     if pp != p:
         symbols = jnp.pad(symbols, ((0, 0), (0, pp - p)))
-    return symbols, block_value_rows(symbols)
+    return symbols, block_value_rows(symbols), flags
 
 
 @partial(jax.jit, static_argnames=("wavelet_type", "padded", "levels", "pp",

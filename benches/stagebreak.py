@@ -196,7 +196,7 @@ def sparse_main(small, iters):
         "phase1 transform+quant+sym+rows", encode_sparse_phase1,
         rgb, step, step, wavelet_type=wt, padded=padded, pp=pp,
         interleaved=True)
-    symbols, ch_rows = sym_rows
+    symbols, ch_rows, _flags = sym_rows
 
     # warm the codec's kcap cache, then time phase 2 as dispatched
     chunk = codec.encode(rgb)

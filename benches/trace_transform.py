@@ -73,7 +73,7 @@ def main():
             decode_device, sym, steps3, steps3, wavelet_type=wt,
             dims=(w, h, t), padded=padded, interleaved=True)
     elif stage == "phase2":
-        symbols, ch_rows = encode_sparse_phase1(
+        symbols, ch_rows, _flags = encode_sparse_phase1(
             rgb, step, step, wavelet_type=wt, padded=padded, pp=pp,
             interleaved=True)
         symbols = jax.block_until_ready(symbols)

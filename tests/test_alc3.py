@@ -189,6 +189,75 @@ def test_sparse_all_zero_channels():
         out, dense.decode(dense.encode(rgb), as_numpy=True))
 
 
+def test_sparse_grayscale_elision():
+    """Grayscale content (R=G=B ⇒ Co=Cg=0) elides the chroma planes:
+    kcap 0, no bitmap/value streams, and the roundtrip — device chunk,
+    batch, and container — is bit-identical to the dense path."""
+    g = _video(4, 16, 16, seed=60)[..., :1]
+    rgb = np.broadcast_to(g, g.shape[:3] + (3,)).copy()
+    codec = Alc3Codec(quality=85, s_seg=8, sparse=True)
+    dense = Alc3Codec(quality=85, s_seg=8)
+    want = dense.decode(dense.encode(rgb), as_numpy=True)
+    # first chunk: active cache cold (full transform, elided wire)
+    ck = codec.encode(rgb)
+    assert ck.kcaps[0] > 0 and ck.kcaps[1] == 0 and ck.kcaps[2] == 0
+    np.testing.assert_array_equal(codec.decode(ck, as_numpy=True), want)
+    # second chunk: warm cache → transform elision path
+    ck2 = codec.encode(rgb)
+    assert ck2.kcaps == ck.kcaps
+    np.testing.assert_array_equal(codec.decode(ck2, as_numpy=True), want)
+    # container roundtrip with elided planes
+    blob = Alc3Codec.to_bytes(ck2)
+    codec2, back = Alc3Codec.from_bytes(blob)
+    assert back[0].kcaps == ck.kcaps
+    np.testing.assert_array_equal(codec2.decode(back[0], as_numpy=True),
+                                  want)
+    # content change: chroma reappears — the flags fetch must force the
+    # full re-dispatch (no silent zeroed chroma)
+    rgbc = _video(4, 16, 16, seed=61)
+    wantc = dense.decode(dense.encode(rgbc), as_numpy=True)
+    ck3 = codec.encode(rgbc)
+    assert all(k > 0 for k in ck3.kcaps)
+    np.testing.assert_array_equal(codec.decode(ck3, as_numpy=True), wantc)
+
+
+def test_sparse_grayscale_elision_batch():
+    """encode_batch/decode_batch with elided chroma planes."""
+    g = _video(4, 16, 16, seed=62)[..., :1]
+    rgb = np.broadcast_to(g, g.shape[:3] + (3,)).copy()
+    rgbs = np.stack([rgb, rgb])
+    codec = Alc3Codec(quality=85, s_seg=8, sparse=True)
+    chunks = codec.encode_batch(rgbs)
+    assert all(c.kcaps[1] == 0 and c.kcaps[2] == 0 for c in chunks)
+    out = np.asarray(codec.decode_batch(chunks))
+    want = codec.decode(codec.encode(rgb), as_numpy=True)
+    np.testing.assert_array_equal(out[0], want)
+    np.testing.assert_array_equal(out[1], want)
+    # mixed batch after a content change re-dispatches correctly
+    rgbc = _video(4, 16, 16, seed=63)
+    mixed = np.stack([rgb, rgbc])
+    chunks2 = codec.encode_batch(mixed)
+    out2 = np.asarray(codec.decode_batch(chunks2))
+    np.testing.assert_array_equal(out2[0], want)
+    dense = Alc3Codec(quality=85, s_seg=8)
+    np.testing.assert_array_equal(
+        out2[1], dense.decode(dense.encode(rgbc), as_numpy=True))
+
+
+def test_sparse_black_content_keeps_anchor_plane():
+    """All-black input elides everything except the per-chunk anchor
+    plane (from_bytes rejects stream-less chunks)."""
+    rgb = np.zeros((2, 8, 8, 3), np.uint8)
+    codec = Alc3Codec(quality=50, s_seg=8, sparse=True)
+    ck = codec.encode(rgb)
+    assert ck.kcaps[0] > 0 and ck.kcaps[1] == 0 and ck.kcaps[2] == 0
+    out = codec.decode(ck, as_numpy=True)
+    np.testing.assert_array_equal(out, rgb)
+    codec2, back = Alc3Codec.from_bytes(Alc3Codec.to_bytes(ck))
+    np.testing.assert_array_equal(codec2.decode(back[0], as_numpy=True),
+                                  rgb)
+
+
 def test_sparse_plane_roundtrip_unit():
     """v5 tile-major sparse plane roundtrip through the NumPy spec
     (kernel-vs-spec parity lives in test_sparse_kernels.py)."""
