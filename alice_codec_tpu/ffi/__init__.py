@@ -16,7 +16,11 @@ from pathlib import Path
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "alice_codec_ffi.cpp"
-_SO = _HERE / "libalice_codec.so"
+# Per-interpreter artifact under a gitignored build dir: the shim links
+# against the running CPython, so one .so per ABI tag, and rebuilds never
+# touch version-controlled paths.
+_SO = (_HERE / "build"
+       / f"libalice_codec.{sysconfig.get_config_var('SOABI') or 'py'}.so")
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -24,6 +28,7 @@ _failed = False
 
 
 def _build() -> None:
+    _SO.parent.mkdir(parents=True, exist_ok=True)
     include = sysconfig.get_path("include")
     libdir = sysconfig.get_config_var("LIBDIR") or ""
     version = sysconfig.get_config_var("LDVERSION") or sysconfig.get_config_var(

@@ -35,16 +35,25 @@ _BASELINE_CHUNKS_PER_SEC = 1.0 / (64 / 100.0 + 64 / 500.0)
 
 
 def _test_chunk(t, h, w, seed=0):
-    """Synthetic video: moving gradient + noise (compressible, nontrivial)."""
+    """Synthetic video: moving gradient + noise (compressible, nontrivial).
+
+    The three channels differ (per-channel gradient slope — smooth,
+    low-frequency chroma like real video — plus a little independent
+    chroma noise on top of the shared luminance noise) so the chunk is
+    genuinely COLOR video: a grayscale chunk has all-zero Co/Cg planes,
+    which lets the sparse encoder elide two of the three channels and
+    would flatter every number.  Chroma noise stays small (±1) because
+    camera noise is predominantly luminance; independent full-amplitude
+    per-channel noise would make chroma denser than any real content."""
     rng = np.random.default_rng(seed)
     x = np.arange(w, dtype=np.int32)[None, None, :, None]
     y = np.arange(h, dtype=np.int32)[None, :, None, None]
     tt = np.arange(t, dtype=np.int32)[:, None, None, None]
-    base = (x * 3 + y * 2 + tt * 7) % 256
+    c = np.arange(3, dtype=np.int32)[None, None, None, :]
+    base = (x * (3 + c) + y * 2 + tt * 7) % 256
     noise = rng.integers(0, 16, size=(t, h, w, 1), dtype=np.int32)
-    return np.broadcast_to(
-        np.clip(base + noise, 0, 255).astype(np.uint8), (t, h, w, 3)
-    ).copy()
+    cnoise = rng.integers(0, 2, size=(t, h, w, 3), dtype=np.int32)
+    return np.clip(base + noise + cnoise, 0, 255).astype(np.uint8)
 
 
 def _stage(arr):
@@ -109,16 +118,23 @@ def north_star():
     batch = int(os.environ.get("ALC_BENCH_BATCH", "2"))
     codec = Alc3Codec(quality=90, wavelet="cdf53", sparse=sparse)
     print("warmup (compiling)...", file=sys.stderr, flush=True)
-    if batch > 1:
-        rgbb = jnp.broadcast_to(rgb[None], (batch,) + rgb.shape)
-        chunks = codec.encode_batch(rgbb)
-        out = codec.decode_batch(chunks)[0]
-        comp = chunks[0].compressed_size
-    else:
-        chunk = codec.encode(rgb)
-        out = codec.decode(chunk)
-        comp = chunk.compressed_size
-    _sync(out)
+    # TWO warmup roundtrips: the sparse encoder's zero-channel elision
+    # cache means the first encode runs the all-channels program and
+    # every later encode runs the elided-set program — a single warmup
+    # iteration would leave the steady-state programs to compile INSIDE
+    # the timed loop (which is exactly what sank the round-4 recorded
+    # number: ~200 s of in-loop tunnel compiles).
+    for _ in range(2):
+        if batch > 1:
+            rgbb = jnp.broadcast_to(rgb[None], (batch,) + rgb.shape)
+            chunks = codec.encode_batch(rgbb)
+            out = codec.decode_batch(chunks)[0]
+            comp = chunks[0].compressed_size
+        else:
+            chunk = codec.encode(rgb)
+            out = codec.decode(chunk)
+            comp = chunk.compressed_size
+        _sync(out)
     print("warmup done", file=sys.stderr, flush=True)
 
     # Sustained pipelined throughput: all iterations are dispatched

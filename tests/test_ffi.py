@@ -7,9 +7,9 @@ import pytest
 
 from alice_codec_tpu.ffi import get_ffi_lib
 
-# Fast-profile suite: the whole 20-function C ABI surface runs in under
-# a minute (the shim build is cached after the first run), so the judge's
-# `-m "not slow"` profile exercises it every time (VERDICT r3 weak #7).
+# Not marked slow: the shim build is cached (~5 s cold, <1 s warm) and
+# the fixture skips when no compiler is available, so the whole
+# 20-function C ABI surface runs in every fast-profile invocation.
 
 
 @pytest.fixture(scope="module")
