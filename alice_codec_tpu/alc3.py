@@ -315,6 +315,23 @@ def _pick_v_blk(nb: int) -> int:
     return v
 
 
+#: Per-plane dense/sparse crossover, as a fraction of the plane's total
+#: value rows.  The sparse compact/expand kernels scan every POSITION of
+#: a plane (~1.9 Gpos/s measured at 1080p), while the dense path codes
+#: every position straight through the rANS kernels (~1.07 Genc /
+#: 1.77 Gdec sym/s) with no compact, no expand, and no meaningful bitmap
+#: mass.  Equating the two cost models at 1080p×64 puts the crossover
+#: near 19 % nonzero density; 15 % adds a safety margin for the
+#: bitmap-stream overhead that the dense plane still carries.  A dense
+#: plane stays INSIDE the sparse wire: kcap equals the full dense
+#: capacity, its bitmap sections are all-ones (a legal v6 stream a
+#: generic decoder expands to the identical plane), and its value plane
+#: is the raw symbol plane — so decoders that recognize the kcap
+#: sentinel skip the expand kernel entirely and older/generic decoders
+#: still reconstruct correctly.
+DENSE_ROW_FRAC = 0.15
+
+
 def _bucket_nv(need_rows: int, s_seg: int, max_nv: int | None = None) -> int:
     """Value-plane segment count covering ``need_rows`` value rows.
 
@@ -355,9 +372,9 @@ def _sampled_len(n: int, stride: int = HIST_STRIDE) -> int:
 
 
 @partial(jax.jit, static_argnames=("pp", "s_seg", "krs", "v_b",
-                                   "wire_active", "wire_nc"))
+                                   "wire_active", "wire_nc", "dense"))
 def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b,
-                         wire_active=None, wire_nc=None):
+                         wire_active=None, wire_nc=None, dense=()):
     """Sparse phase 2: Pallas compact → bitmap + value planes → entropy
     kernels.
 
@@ -368,6 +385,13 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b,
     than luma).  ``krs[i] == 0`` elides plane i from the wire entirely
     (no bitmap or value streams — a plane with zero nonzero symbols has
     an all-zero bitmap, so kcap 0 alone reconstructs it exactly).
+
+    ``dense``: provided-plane indices coded DENSE within the sparse wire
+    (see DENSE_ROW_FRAC): the plane's value section is the raw symbol
+    plane (zero-padded to its full-capacity kcap) and its bitmap is
+    all-ones — no compact kernel touches it.  ``krs[i]`` for a dense
+    plane must be the full dense capacity (kcap == the dense plane
+    symbol count), which is what marks it for decoders.
 
     ``wire_active``: wire plane index of each provided plane (default
     ``range(npv)``); ``wire_nc``: total wire planes (default npv).  The
@@ -383,37 +407,52 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b,
     if wire_nc is None:
         wire_nc = npv
     coded = tuple(i for i in range(npv) if krs[i] > 0)
+    sp = tuple(c for c in coded if c not in dense)
     _, nbk = block_geometry(pp, br)
-    # per-TILE nonzero counts → ceil rows per tile → rows per kernel
-    # block (wire v5 tile-major padding; must agree with
-    # sparse_kernels.block_value_rows / value_row_bases exactly)
-    blk = TILE_ROWS * NG
-    cnt = jnp.sum(
-        (symbols.reshape(npv, nbk, br // TILE_ROWS, blk) != 0
-         ).astype(jnp.int32), axis=-1)
-    rows = jnp.sum(-(-cnt // NG), axis=-1)
-    # clamp to capacity: encode() dispatches phase 2 OPTIMISTICALLY with
-    # the cached buckets and re-dispatches bigger if ch_rows overflowed —
-    # the clamp keeps the kernel's value-window DMAs in bounds meanwhile
-    excl = jnp.minimum(jnp.cumsum(rows, axis=-1) - rows,
-                       jnp.asarray(krs, jnp.int32)[:, None])
-    bases, _ = plane_row_bases(krs, br)
-    vbase = (excl + jnp.asarray(bases, jnp.int32)[:, None]).reshape(-1)
-    bm, vals = compact_pallas(
-        symbols, vbase, p=pp, kr=krs, br=br, v_blk=_pick_v_blk(nbk))
-    bitmaps = bm.astype(jnp.uint8)
     from .ops.quant import build_histogram
     from .pipeline import _hist_sample
 
-    # per-CODED-plane value slices (capacity rows only; mask the
-    # UNSPECIFIED rows between ch_rows and capacity to the zero padding
-    # symbol)
     values = {}
-    for c in coded:
-        region = jax.lax.dynamic_slice_in_dim(vals, bases[c], krs[c])
-        ridx = jnp.arange(krs[c], dtype=jnp.int32)
-        region = jnp.where(ridx[:, None] < ch_rows[c], region, 0)
-        values[c] = region.reshape(krs[c] * NG).astype(jnp.uint8)
+    bm_parts = {}
+    if sp:
+        sym_sp = (symbols if len(sp) == npv
+                  else jnp.stack([symbols[c] for c in sp]))
+        krs_sp = tuple(krs[c] for c in sp)
+        # per-TILE nonzero counts → ceil rows per tile → rows per kernel
+        # block (wire v5 tile-major padding; must agree with
+        # sparse_kernels.block_value_rows / value_row_bases exactly)
+        blk = TILE_ROWS * NG
+        cnt = jnp.sum(
+            (sym_sp.reshape(len(sp), nbk, br // TILE_ROWS, blk) != 0
+             ).astype(jnp.int32), axis=-1)
+        rows = jnp.sum(-(-cnt // NG), axis=-1)
+        # clamp to capacity: encode() dispatches phase 2 OPTIMISTICALLY
+        # with the cached buckets and re-dispatches bigger if ch_rows
+        # overflowed — the clamp keeps the kernel's value-window DMAs in
+        # bounds meanwhile
+        excl = jnp.minimum(jnp.cumsum(rows, axis=-1) - rows,
+                           jnp.asarray(krs_sp, jnp.int32)[:, None])
+        bases, _ = plane_row_bases(krs_sp, br)
+        vbase = (excl + jnp.asarray(bases, jnp.int32)[:, None]).reshape(-1)
+        bm, vals = compact_pallas(
+            sym_sp, vbase, p=pp, kr=krs_sp, br=br, v_blk=_pick_v_blk(nbk))
+        # per-plane value slices (capacity rows only; mask the
+        # UNSPECIFIED rows between ch_rows and capacity to the zero
+        # padding symbol)
+        for i, c in enumerate(sp):
+            region = jax.lax.dynamic_slice_in_dim(vals, bases[i], krs[c])
+            ridx = jnp.arange(krs[c], dtype=jnp.int32)
+            region = jnp.where(ridx[:, None] < ch_rows[c], region, 0)
+            values[c] = region.reshape(krs[c] * NG).astype(jnp.uint8)
+            bm_parts[c] = bm[i].astype(jnp.uint8)
+    for c in dense:
+        # dense plane: raw symbols (zero-padded to full capacity), bitmap
+        # all-ones — reconstructs identically through a generic expand
+        values[c] = jnp.pad(symbols[c], (0, krs[c] * NG - pp))
+        bm_parts[c] = jnp.full((pp // 8,), 255, jnp.uint8)
+    bitmaps = jnp.stack([bm_parts[c] if c in bm_parts
+                         else jnp.zeros((pp // 8,), jnp.uint8)
+                         for c in range(npv)])
     bm_hists = jax.vmap(build_histogram)(_hist_sample(bitmaps, HIST_STRIDE))
     # full wire-layout histogram block: real rows for provided planes,
     # synthesized rows for elided ones (an elided plane's true bitmap
@@ -474,47 +513,69 @@ def _sparse_entropy_expand(streams, counts, hists, *, p, s_seg, kcaps,
     → expand → (nc, p) uint8 symbols (shared by the fixed-step, RDO, and
     deep sparse decoders).  ``kcaps``: per-plane value capacities —
     ``kcap == 0`` marks an ELIDED plane (zero nonzero symbols; no bitmap
-    or value streams on the wire) that reconstructs to exact zeros."""
+    or value streams on the wire) that reconstructs to exact zeros, and
+    ``kcap`` equal to the FULL dense capacity marks a DENSE plane (see
+    DENSE_ROW_FRAC): its value section is the raw symbol plane and its
+    bitmap sections are all-ones by construction, so the decoder takes
+    the value symbols verbatim and skips both the bitmap decode and the
+    expand kernel for that plane."""
     br = BLOCK_ROWS
     pp = _sparse_pp(p)
     coded = tuple(c for c in range(nc) if kcaps[c] > 0)
     na = len(coded)
     if na == 0:
         return jnp.zeros((nc, p), jnp.uint8)
-    krs = tuple(kcaps[c] // NG for c in coded)
-    bmh = jnp.stack([hists[c] for c in coded])
-    bm_thists = _table_hists(bmh, pp // 8, s_seg=s_seg, v_seg=v_b)
-    bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
+    dense_kcap = _segment_geometry(pp, s_seg)[1]
+    dense = tuple(c for c in coded if kcaps[c] >= dense_kcap)
+    sp = tuple(c for c in coded if c not in dense)
     nb, _ = _segment_geometry(pp // 8, s_seg, v_b)
-    bm = decode_words_pallas(
-        streams[: na * nb], counts[: na * nb], bm_freqs, bm_cums,
-        s_seg=s_seg, v_seg=v_b,
-    ).reshape(na, -1)[:, : pp // 8]
+    bm = None
+    if sp:
+        bmh = jnp.stack([hists[c] for c in sp])
+        bm_thists = _table_hists(bmh, pp // 8, s_seg=s_seg, v_seg=v_b)
+        bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
+        # bitmap stream rows ride in coded order; gather the sparse
+        # planes' groups (dense planes' all-ones bitmaps are never read)
+        bsel = [slice(coded.index(c) * nb, (coded.index(c) + 1) * nb)
+                for c in sp]
+        bm = decode_words_pallas(
+            jnp.concatenate([streams[s] for s in bsel], axis=0),
+            jnp.concatenate([counts[s] for s in bsel], axis=0),
+            bm_freqs, bm_cums, s_seg=s_seg, v_seg=v_b,
+        ).reshape(len(sp), -1)[:, : pp // 8]
     # per-plane value decode, padded with the br-row DMA margin each
+    planes = {}
     parts = []
     row0 = na * nb
-    for i, c in enumerate(coded):
-        nv = krs[i] // s_seg
+    for c in coded:
+        kr = kcaps[c] // NG
+        nv = kr // s_seg
         vf, vc = jax.vmap(freq_table_device)(hists[nc + c : nc + c + 1])
         v = decode_words_pallas(
             streams[row0 : row0 + nv], counts[row0 : row0 + nv], vf, vc,
             s_seg=s_seg, v_seg=_pick_v_seg(nv),
-        ).reshape(krs[i], NG)
-        parts.append(jnp.pad(v, ((0, br), (0, 0))))
+        ).reshape(kr, NG)
         row0 += nv
-    vals = jnp.concatenate(parts, axis=0)
-    vbase, _ = value_row_bases(bm.astype(jnp.uint8), pp, krs, br=br)
-    _, nbk = block_geometry(pp, br)
-    sym_act = expand_pallas(
-        bm, vals, vbase, p=pp, kr=krs, br=br, v_blk=_pick_v_blk(nbk)
-    )[:, :p].astype(jnp.uint8)
-    if na == nc:
-        return sym_act
+        if c in dense:
+            planes[c] = v.reshape(-1)[:p].astype(jnp.uint8)
+        else:
+            parts.append(jnp.pad(v, ((0, br), (0, 0))))
+    if sp:
+        krs_sp = tuple(kcaps[c] // NG for c in sp)
+        vals = jnp.concatenate(parts, axis=0)
+        vbase, _ = value_row_bases(bm.astype(jnp.uint8), pp, krs_sp, br=br)
+        _, nbk = block_geometry(pp, br)
+        sym_sp = expand_pallas(
+            bm, vals, vbase, p=pp, kr=krs_sp, br=br, v_blk=_pick_v_blk(nbk)
+        )[:, :p].astype(jnp.uint8)
+        for i, c in enumerate(sp):
+            planes[c] = sym_sp[i]
+    if na == nc and not dense:
+        return sym_sp
     # scatter coded planes into the full layout; elided planes are zeros
     zero = jnp.zeros((p,), jnp.uint8)
-    idx = {c: i for i, c in enumerate(coded)}
     return jnp.stack([
-        sym_act[idx[c]] if c in idx else zero for c in range(nc)
+        planes.get(c, zero) for c in range(nc)
     ])
 
 
@@ -858,12 +919,22 @@ class Alc3Codec:
         # from_bytes validates capacities against this bound)
         max_nv = _segment_geometry(pp, self.s_seg)[0]
 
+        dense_rows = max_nv * self.s_seg  # full capacity ⇒ DENSE plane
+
         def bucket(r: int, w: int) -> int:
             if r == 0 and w % chunk_planes == 0:
                 # chunk-anchor plane: keep one minimum-capacity coded
                 # plane per chunk
                 return DEFAULT_V_SEG * self.s_seg
-            return _bucket_nv(r, self.s_seg, max_nv) * self.s_seg
+            if r >= DENSE_ROW_FRAC * (pp // NG):
+                # above the compact/expand crossover: code the plane
+                # DENSE inside the sparse wire (see DENSE_ROW_FRAC)
+                return dense_rows
+            nv = _bucket_nv(r, self.s_seg, max_nv)
+            # a sparse bucket that clamps to full capacity must become
+            # dense too — kcap == full capacity is the dense marker, and
+            # at that size dense is strictly cheaper anyway
+            return dense_rows if nv >= max_nv else nv * self.s_seg
 
         # capacities are a function of the chunk GEOMETRY, not just the
         # plane count — cache per (wire layout, pp, s_seg) so mixed-shape
@@ -882,10 +953,16 @@ class Alc3Codec:
             krs = tuple(
                 bucket(int(r), w) for r, w in zip(rows, wire_active))
         for _attempt in range(8):
+            # planes at full capacity are DENSE by definition (kcap ==
+            # dense capacity is the wire marker — _sparse_entropy_expand
+            # decodes them verbatim, so the encoder must build them
+            # verbatim too, whichever rule set the bucket)
+            dense = tuple(
+                i for i, k in enumerate(krs) if k == dense_rows)
             streams, counts, hists = _encode_chunk_sparse(
                 symbols, ch_rows, pp=pp, s_seg=self.s_seg, krs=krs,
                 v_b=_pick_v_seg(nb), wire_active=wire_active,
-                wire_nc=wire_nc,
+                wire_nc=wire_nc, dense=dense,
             )
             rows = np.asarray(ch_rows)  # tiny fetch (4·npv bytes)
             if all(int(r) <= k for r, k in zip(rows, krs)):
@@ -1256,21 +1333,31 @@ class Alc3Codec:
         ))(jnp.asarray(rgb_batch))
         rows = np.asarray(ch_rows).reshape(b, 3)  # tiny fetch
         max_nv = _segment_geometry(pp, self.s_seg)[0]
+
         # no plane elision over the mesh: every shard must trace the
-        # same phase-2 program, so empty planes keep the minimum bucket
-        krs3 = tuple(
-            max(_bucket_nv(int(rows[:, c].max()), self.s_seg, max_nv),
-                DEFAULT_V_SEG)
-            * self.s_seg
-            for c in range(3)
-        )
+        # same phase-2 program, so empty planes keep the minimum bucket.
+        # The DENSE_ROW_FRAC crossover applies batch-wide per channel
+        # (the batch max sizes the shared bucket anyway), and any bucket
+        # that reaches full capacity must be dense — kcap == dense
+        # capacity is the decoder's dense marker.
+        def ch_bucket(r: int) -> int:
+            if r >= DENSE_ROW_FRAC * (pp // NG):
+                return max_nv
+            nv = max(_bucket_nv(r, self.s_seg, max_nv), DEFAULT_V_SEG)
+            return max_nv if nv >= max_nv else nv
+
+        nv3 = tuple(ch_bucket(int(rows[:, c].max())) for c in range(3))
+        krs3 = tuple(nv * self.s_seg for nv in nv3)
+        dense3 = tuple(c for c in range(3) if nv3[c] == max_nv)
         nb, _ = _segment_geometry(pp // 8, self.s_seg)
         krs_local = krs3 * bl
+        dense_local = tuple(
+            3 * j + c for j in range(bl) for c in dense3)
 
         def f2(sym, chr_):
             return _encode_chunk_sparse(
                 sym, chr_, pp=pp, s_seg=self.s_seg, krs=krs_local,
-                v_b=_pick_v_seg(nb))
+                v_b=_pick_v_seg(nb), dense=dense_local)
 
         streams, counts, hists = jax.jit(jax.shard_map(
             f2, mesh=mesh, in_specs=(P(axis), P(axis)),

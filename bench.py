@@ -35,25 +35,43 @@ _BASELINE_CHUNKS_PER_SEC = 1.0 / (64 / 100.0 + 64 / 500.0)
 
 
 def _test_chunk(t, h, w, seed=0):
-    """Synthetic video: moving gradient + noise (compressible, nontrivial).
+    """Synthetic COLOR video: moving luminance gradient + sensor noise +
+    piecewise-constant color regions.
 
-    The three channels differ (per-channel gradient slope — smooth,
-    low-frequency chroma like real video — plus a little independent
-    chroma noise on top of the shared luminance noise) so the chunk is
-    genuinely COLOR video: a grayscale chunk has all-zero Co/Cg planes,
-    which lets the sparse encoder elide two of the three channels and
-    would flatter every number.  Chroma noise stays small (±1) because
-    camera noise is predominantly luminance; independent full-amplitude
-    per-channel noise would make chroma denser than any real content."""
+    Three requirements shaped this generator:
+
+    * **Honest color.**  A grayscale chunk (identical channels) has
+      all-zero Co/Cg planes, which lets the sparse encoder elide two of
+      the three channels and would flatter every number.  (The
+      reference's own benchmark content IS grayscale — a pure ``(i*7) %
+      256`` gradient, examples/basic_encode.rs:21-25 — so any color
+      content at all is strictly harder than the baseline's.)
+    * **Realistic chroma statistics.**  Real chroma is piecewise-smooth:
+      color changes at object boundaries and is flat inside them, and
+      camera noise is predominantly luminance.  Modeled as a coarse
+      random color field (64 px × 16-frame blocks, ±32 amplitude) —
+      sharp color edges at region boundaries, compressible interiors.
+      Measured symbol densities at q=90/CDF 5/3: Y ≈ 23 %, Co ≈ 10 %,
+      Cg ≈ 9 % — chroma ≈ 40 % of luma, matching natural content.  An
+      earlier revision used per-channel gradient SLOPES instead, whose
+      misaligned %256 wrap edges made chroma as dense as luma (22 % vs
+      23 %) — no real video keeps dense high-frequency chroma edges
+      disjoint from its luma edges.
+    * **Deterministic** per (shape, seed) so every round benches
+      identical bytes (the C++ baseline reads the same array from disk).
+    """
     rng = np.random.default_rng(seed)
     x = np.arange(w, dtype=np.int32)[None, None, :, None]
     y = np.arange(h, dtype=np.int32)[None, :, None, None]
     tt = np.arange(t, dtype=np.int32)[:, None, None, None]
-    c = np.arange(3, dtype=np.int32)[None, None, None, :]
-    base = (x * (3 + c) + y * 2 + tt * 7) % 256
+    base = (x * 3 + y * 2 + tt * 7) % 256
     noise = rng.integers(0, 16, size=(t, h, w, 1), dtype=np.int32)
-    cnoise = rng.integers(0, 2, size=(t, h, w, 3), dtype=np.int32)
-    return np.clip(base + noise + cnoise, 0, 255).astype(np.uint8)
+    blk, tblk = 64, 16
+    gt, gh, gw = -(-t // tblk), -(-h // blk), -(-w // blk)
+    field = rng.integers(-32, 33, size=(gt, gh, gw, 3), dtype=np.int32)
+    color = (field.repeat(tblk, 0)[:t].repeat(blk, 1)[:, :h]
+             .repeat(blk, 2)[:, :, :w])
+    return np.clip(base + noise + color, 0, 255).astype(np.uint8)
 
 
 def _stage(arr):
@@ -111,11 +129,16 @@ def north_star():
     print("input staged", file=sys.stderr, flush=True)
 
     sparse = os.environ.get("ALC_BENCH_DENSE") != "1"
-    # Chunks per dispatch: production streams batch B chunks through one
-    # phase-1 grid + one compact/entropy grid + one decode grid,
-    # amortizing dispatch gaps and the per-batch capacity fetch (ALC3
-    # encode_batch/decode_batch).  B=1 falls back to per-chunk calls.
-    batch = int(os.environ.get("ALC_BENCH_BATCH", "2"))
+    # Chunks per dispatch: ALC_BENCH_BATCH > 1 routes through
+    # encode_batch/decode_batch (one phase-1 grid + one compact/entropy
+    # grid + one decode grid per B chunks).  Default is 1: at 1080p×64
+    # the B=2 batch measured 1.05 chunks/s vs 1.52 per-chunk on v5e —
+    # doubling the live coefficient volumes (2×~0.8 GB i16 + stream
+    # buffers) pressures HBM enough that XLA serializes the grids, so
+    # batching only pays below ~0.5 MP frames.  Back-to-back per-chunk
+    # dispatches already pipeline (the timed loop never syncs between
+    # chunks).
+    batch = int(os.environ.get("ALC_BENCH_BATCH", "1"))
     codec = Alc3Codec(quality=90, wavelet="cdf53", sparse=sparse)
     print("warmup (compiling)...", file=sys.stderr, flush=True)
     # TWO warmup roundtrips: the sparse encoder's zero-channel elision

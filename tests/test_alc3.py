@@ -274,6 +274,78 @@ def test_sparse_plane_roundtrip_unit():
     np.testing.assert_array_equal(back, sym)
 
 
+# ── adaptive per-plane dense coding (DENSE_ROW_FRAC) ────────────
+
+
+def test_sparse_adaptive_dense_marker_and_roundtrip():
+    """Planes past the compact/expand crossover are coded DENSE inside
+    the sparse wire: kcap equals the full dense capacity, and the mixed
+    dense/sparse chunk roundtrips bit-identically to the dense codec —
+    on device and through the container."""
+    from alice_codec_tpu.alc3 import _segment_geometry, _sparse_pp
+    from alice_codec_tpu.core import padded_dims
+
+    rng = np.random.default_rng(70)
+    # p must equal _sparse_pp(p) (one whole compaction-block granule:
+    # 16×256×256 = 2^20) or the padding dilutes density below the
+    # DENSE_ROW_FRAC threshold — density is measured over the CODED
+    # (padded) plane, which is what the kernels actually scan
+    t, h, w = 16, 256, 256
+    # luma-only noise: after YCoCg-R the noise stays in Y (shared across
+    # R=G=B), so Y is dense while Co/Cg stay sparse
+    g = rng.integers(0, 256, size=(t, h, w, 1), dtype=np.uint8)
+    rgb = np.broadcast_to(g, (t, h, w, 3)).copy()
+    rgb[..., 0] = np.clip(rgb[..., 0].astype(np.int32)
+                          + (np.arange(w) // 8), 0, 255).astype(np.uint8)
+    codec = Alc3Codec(quality=85, s_seg=8, sparse=True)
+    chunk = codec.encode(rgb)
+    p = int(np.prod(padded_dims(w, h, t)))
+    assert p == _sparse_pp(p)
+    dense_kcap = _segment_geometry(p, 8)[1]
+    assert chunk.kcaps[0] == dense_kcap  # noisy luma ⇒ dense
+    # Cg (ramp/2, mostly dead-zoned) stays sparse; Co sits just over the
+    # crossover via the 1-row-per-nonempty-tile floor and goes dense too
+    assert chunk.kcaps[2] < dense_kcap
+    dense = Alc3Codec(quality=85, s_seg=8)
+    np.testing.assert_array_equal(
+        codec.decode(chunk, as_numpy=True),
+        dense.decode(dense.encode(rgb), as_numpy=True))
+    codec2, chunks2 = Alc3Codec.from_bytes(Alc3Codec.to_bytes(chunk))
+    assert chunks2[0].kcaps == chunk.kcaps
+    np.testing.assert_array_equal(
+        codec2.decode(chunks2[0], as_numpy=True),
+        codec.decode(chunk, as_numpy=True))
+
+
+def test_sparse_dense_plane_is_generic_v6_stream():
+    """A dense-coded plane is a LEGAL sparse stream: all-ones bitmap +
+    raw symbol plane as values.  A generic decoder that expands the
+    bitmap (the NumPy wire spec) must reconstruct the identical plane —
+    the kcap sentinel is an optimization marker, not a format fork."""
+    from alice_codec_tpu.ops import sparse_spec as spec
+
+    rng = np.random.default_rng(71)
+    p = 64 * 128 * 2
+    sym = np.where(rng.random(p) < 0.5, 0,
+                   rng.integers(1, 256, size=p)).astype(np.uint8)
+    # dense-plane wire construction (alc3._encode_chunk_sparse dense=)
+    bm_ones = np.full(p // 8, 255, np.uint8)
+    vals = sym.reshape(-1, 128)  # raw plane, rows in order
+    back = spec.expand_values(bm_ones, vals)
+    np.testing.assert_array_equal(back, sym)
+
+
+def test_sparse_adaptive_lossless_exact():
+    """Mixed dense/sparse planes at q=100 with exact inverses must be a
+    bit-exact roundtrip (the strongest end-to-end correctness check for
+    the dense fast path)."""
+    rng = np.random.default_rng(72)
+    rgb = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    codec = Alc3Codec(quality=100, s_seg=8, sparse=True, deep=True)
+    out = codec.decode(codec.encode(rgb), exact=True, as_numpy=True)
+    np.testing.assert_array_equal(out, rgb)
+
+
 # ── multi-level decomposition (§5.7 extension) ──────────────────
 
 
