@@ -50,6 +50,7 @@ histograms), preserving the checkpoint/resume property of `.alc`.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 from functools import partial
@@ -329,7 +330,7 @@ def _pick_v_blk(nb: int) -> int:
 #: is the raw symbol plane — so decoders that recognize the kcap
 #: sentinel skip the expand kernel entirely and older/generic decoders
 #: still reconstruct correctly.
-DENSE_ROW_FRAC = 0.15
+DENSE_ROW_FRAC = float(os.environ.get("ALC_DENSE_FRAC", "0.15"))
 
 
 def _bucket_nv(need_rows: int, s_seg: int, max_nv: int | None = None) -> int:
