@@ -591,8 +591,242 @@ static int debug_dump(const char* path, int w, int h, int f, int q, int wt) {
   return 0;
 }
 
+// ── golden `.alc` fixture emitter (cross-implementation interop) ──
+//
+// Emits real `.alc` containers (src/pipeline.rs:200-226 layout) from the
+// deterministic golden input (alice_codec_tpu/utils/golden.py formula) so
+// the committed fixtures in tests/golden/cpp/ are produced by THIS
+// independent C++ implementation and cross-checked byte-for-byte against
+// the JAX package's encoder/decoder (tests/test_golden.py).
+//
+// Table selection mirrors the package pipeline (pipeline.py encode /
+// _decode_channel): encode with the REFERENCE-EXACT normalization first
+// (incl. its u16-wrap last-symbol defect, src/rans.rs:116-150); if a slot
+// crosses PROB_SCALE during encoding (the overflow regime where a
+// reference decoder corrupts the stream), re-encode with the sanitized
+// table.  The decoder picks the table via the rANS final-state invariant.
+
+static void golden_fill(int w, int h, int f, uint8_t* out) {
+  // v(x,y,t,c) = (3x + 5y + 7t + 11c + ((x+1)(y+2)(t+3) mod 251)) mod 256
+  int64_t i = 0;
+  for (int64_t t = 0; t < f; ++t)
+    for (int64_t y = 0; y < h; ++y)
+      for (int64_t x = 0; x < w; ++x) {
+        uint64_t mix = ((x + 1) * (y + 2) * (t + 3)) % 251;
+        for (uint64_t c = 0; c < 3; ++c)
+          out[i++] = static_cast<uint8_t>(
+              (3 * uint64_t(x) + 5 * uint64_t(y) + 7 * uint64_t(t) +
+               11 * c + mix) % 256);
+      }
+}
+
+static void freq_table_reference(const uint32_t* hist, FreqTable* ft) {
+  // Reference-exact normalization (src/rans.rs:102-150): min freq 1,
+  // last-symbol diff adjustment with u16 wrap, LUT overwrite-in-order
+  // with end clamp.  May produce an over-subscribed (defective) table.
+  uint64_t total = 0;
+  for (int i = 0; i < 256; ++i) total += hist[i];
+  uint64_t f64[256];
+  if (total == 0) {
+    for (int i = 0; i < 256; ++i) f64[i] = kProbScale / 256;
+    uint32_t cum = 0;
+    for (int i = 0; i < 256; ++i) {
+      ft->cums[i] = static_cast<uint16_t>(cum);
+      ft->freqs[i] = static_cast<uint16_t>(f64[i]);
+      cum += f64[i];
+    }
+    ft->freqs[255] = static_cast<uint16_t>(kProbScale - ft->cums[255]);
+  } else {
+    for (int i = 0; i < 256; ++i) {
+      uint64_t f = (static_cast<uint64_t>(hist[i]) * kProbScale) / total;
+      f64[i] = f < 1 ? 1 : f;
+    }
+    uint64_t s = 0;
+    for (int i = 0; i < 256; ++i) s += f64[i];
+    uint32_t cum = 0;
+    for (int i = 0; i < 256; ++i) {
+      ft->cums[i] = static_cast<uint16_t>(cum);
+      ft->freqs[i] = static_cast<uint16_t>(f64[i]);
+      cum += f64[i];
+    }
+    if (s != kProbScale)
+      ft->freqs[255] = static_cast<uint16_t>(
+          ft->freqs[255] + (kProbScale - s));  // u16 wrap, as the reference
+  }
+  ft->cum_to_sym.assign(kProbScale, 0);
+  for (int sym = 0; sym < 256; ++sym) {
+    uint32_t start = ft->cums[sym];
+    uint32_t end = start + ft->freqs[sym];
+    if (end > kProbScale) end = kProbScale;
+    for (uint32_t j = start; j < end; ++j) ft->cum_to_sym[j] = sym;
+  }
+}
+
+static bool rans_encode_ovf(const uint8_t* sym, int64_t n, const FreqTable& ft,
+                            std::vector<uint8_t>* out) {
+  // rans_encode + overflow detection (slot >= PROB_SCALE ⇒ the
+  // reference-exact table cannot represent this stream).
+  out->clear();
+  bool overflowed = false;
+  uint32_t state = kRansL;
+  for (int64_t i = n - 1; i >= 0; --i) {
+    uint32_t f = ft.freqs[sym[i]], c = ft.cums[sym[i]];
+    uint32_t x_max = ((kRansL >> kProbBits) << 8) * f;
+    while (state >= x_max) {
+      out->push_back(state & 0xFF);
+      state >>= 8;
+    }
+    uint32_t slot = (state % f) + c;
+    if (slot >= kProbScale) overflowed = true;
+    state = ((state / f) << kProbBits) + slot;
+  }
+  for (int s = 0; s < 32; s += 8) out->push_back((state >> s) & 0xFF);
+  for (size_t i = 0, j = out->size() - 1; i < j; ++i, --j)
+    std::swap((*out)[i], (*out)[j]);
+  return overflowed;
+}
+
+static bool rans_decode_check(const uint8_t* data, int64_t len, int64_t n,
+                              const FreqTable& ft, uint8_t* out) {
+  // rans_decode + the final-state invariant (state back at RANS32_L and
+  // every byte consumed) — how the decoder detects the table variant.
+  uint32_t state = 0;
+  int64_t pos = 0;
+  if (len >= 4) {
+    state = (uint32_t(data[0]) << 24) | (uint32_t(data[1]) << 16) |
+            (uint32_t(data[2]) << 8) | data[3];
+    pos = 4;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t slot = state & (kProbScale - 1);
+    uint8_t s = ft.cum_to_sym[slot];
+    state = ft.freqs[s] * (state >> kProbBits) + slot - ft.cums[s];
+    while (state < kRansL && pos < len) state = (state << 8) | data[pos++];
+    out[i] = s;
+  }
+  return state == kRansL && pos == len;
+}
+
+static void put_u32(std::vector<uint8_t>* b, uint32_t v) {
+  for (int s = 0; s < 32; s += 8) b->push_back((v >> s) & 0xFF);
+}
+
+static int emit_alc(const char* outdir, int w, int h, int f, int q, int wt) {
+  static const char* kNames[3] = {"cdf53", "cdf97", "haar"};
+  int64_t n = static_cast<int64_t>(w) * h * f;
+  std::vector<uint8_t> rgb(n * 3);
+  golden_fill(w, h, f, rgb.data());
+  Dims d = padded_dims(w, h, f);
+  Wavelet wv = wavelet_for(wt);
+  int64_t pp = static_cast<int64_t>(d.pw) * d.ph * d.pf;
+  int32_t step = std::max(64 - (std::min(q, 100) * 63) / 100, 1);
+
+  std::vector<int16_t> planes(3 * n);
+  int16_t* chans[3] = {planes.data(), planes.data() + n, planes.data() + 2 * n};
+  rgb_to_ycocg(rgb.data(), n, chans[0], chans[1], chans[2]);
+
+  std::vector<int32_t> buf(pp), qb(pp);
+  std::vector<uint8_t> sym(pp);
+  std::vector<uint8_t> streams[3];
+  uint32_t hists[3][256];
+  for (int c = 0; c < 3; ++c) {
+    pad_channel(chans[c], d, buf.data());
+    forward_3d(buf.data(), d.pw, d.ph, d.pf, wv);
+    quantize_buffer(buf.data(), pp, step, step, qb.data());
+    to_symbols(qb.data(), pp, sym.data());
+    std::memset(hists[c], 0, sizeof(hists[c]));
+    for (int64_t i = 0; i < pp; ++i) ++hists[c][sym[i]];
+    FreqTable ft;
+    freq_table_reference(hists[c], &ft);
+    if (rans_encode_ovf(sym.data(), pp, ft, &streams[c])) {
+      freq_table_from_histogram(hists[c], &ft);  // sanitized retry
+      rans_encode(sym.data(), pp, ft, &streams[c]);
+    }
+  }
+
+  // container: "ALCC" | version 1 | wavelet u8 | w,h,f u32 LE |
+  // 3×{len u32, step i32, dead_zone i32, num_symbols u32, hist[256] u32} |
+  // payloads (src/pipeline.rs:200-226; 18 B + 3×1040 B headers)
+  std::vector<uint8_t> alc;
+  alc.push_back('A'); alc.push_back('L'); alc.push_back('C'); alc.push_back('C');
+  alc.push_back(1);
+  alc.push_back(static_cast<uint8_t>(wt));
+  put_u32(&alc, w); put_u32(&alc, h); put_u32(&alc, f);
+  for (int c = 0; c < 3; ++c) {
+    put_u32(&alc, streams[c].size());
+    put_u32(&alc, static_cast<uint32_t>(step));
+    put_u32(&alc, static_cast<uint32_t>(step));  // dead_zone = step
+    put_u32(&alc, static_cast<uint32_t>(pp));
+    for (int i = 0; i < 256; ++i) put_u32(&alc, hists[c][i]);
+  }
+  for (int c = 0; c < 3; ++c)
+    alc.insert(alc.end(), streams[c].begin(), streams[c].end());
+
+  // independent decode of the emitted container bytes → .rgb fixture
+  std::vector<uint8_t> out_rgb(n * 3);
+  {
+    const uint8_t* p = alc.data() + 6;
+    auto rd_u32 = [&p]() {
+      uint32_t v = p[0] | (p[1] << 8) | (p[2] << 16) |
+                   (static_cast<uint32_t>(p[3]) << 24);
+      p += 4;
+      return v;
+    };
+    rd_u32(); rd_u32(); rd_u32();  // w, h, f (known)
+    uint32_t lens[3], steps[3], nsyms[3];
+    uint32_t dh[3][256];
+    for (int c = 0; c < 3; ++c) {
+      lens[c] = rd_u32();
+      steps[c] = rd_u32();
+      rd_u32();  // dead zone (decode-side unused: dequant is q*step)
+      nsyms[c] = rd_u32();
+      for (int i = 0; i < 256; ++i) dh[c][i] = rd_u32();
+    }
+    const uint8_t* payload = p;
+    for (int c = 0; c < 3; ++c) {
+      FreqTable ft;
+      freq_table_reference(dh[c], &ft);
+      if (!rans_decode_check(payload, lens[c], nsyms[c], ft, sym.data())) {
+        freq_table_from_histogram(dh[c], &ft);
+        rans_decode_check(payload, lens[c], nsyms[c], ft, sym.data());
+      }
+      payload += lens[c];
+      from_symbols(sym.data(), nsyms[c], buf.data());
+      for (int64_t i = 0; i < nsyms[c]; ++i)
+        buf[i] *= static_cast<int32_t>(steps[c]);
+      inverse_3d(buf.data(), d.pw, d.ph, d.pf, wv);
+      crop_channel(buf.data(), d, chans[c]);
+    }
+    ycocg_to_rgb(chans[0], chans[1], chans[2], n, out_rgb.data());
+  }
+
+  char name[128];
+  std::snprintf(name, sizeof(name), "%s_q%03d_%dx%dx%d", kNames[wt % 3], q, w,
+                h, f);
+  char path[512];
+  std::snprintf(path, sizeof(path), "%s/%s.alc", outdir, name);
+  FILE* o = std::fopen(path, "wb");
+  if (!o) return 1;
+  std::fwrite(alc.data(), 1, alc.size(), o);
+  std::fclose(o);
+  std::snprintf(path, sizeof(path), "%s/%s.rgb", outdir, name);
+  o = std::fopen(path, "wb");
+  if (!o) return 1;
+  std::fwrite(out_rgb.data(), 1, out_rgb.size(), o);
+  std::fclose(o);
+  std::printf(
+      "{\"name\": \"%s\", \"w\": %d, \"h\": %d, \"f\": %d, \"quality\": %d, "
+      "\"wavelet\": \"%s\", \"alc_bytes\": %zu}\n",
+      name, w, h, f, q, kNames[wt % 3], alc.size());
+  return 0;
+}
+
 int main(int argc, char** argv) {
   if (argc == 2 && std::string(argv[1]) == "--selftest") return self_test();
+  if (argc == 8 && std::string(argv[1]) == "--emit-alc")
+    return emit_alc(argv[2], std::atoi(argv[3]), std::atoi(argv[4]),
+                    std::atoi(argv[5]), std::atoi(argv[6]),
+                    std::atoi(argv[7]));
   if (argc == 8 && std::string(argv[1]) == "--debug")
     return debug_dump(argv[2], std::atoi(argv[3]), std::atoi(argv[4]),
                       std::atoi(argv[5]), std::atoi(argv[6]),

@@ -7,6 +7,16 @@ off-rig Rust generator ``tools/golden/src/main.rs``):
 * ``tests/golden/self/`` — containers produced by THIS package, committed.
   Re-encoding must reproduce them byte-exactly (wire freeze), and decoding
   them must reproduce the manifest's RGB digest (decode freeze).
+* ``tests/golden/cpp/`` — containers produced by the INDEPENDENT C++
+  implementation of the reference pipeline
+  (``alice_codec_tpu/native/baseline_ref.cpp --emit-alc`` — separate
+  code, separate language, separate author pass from the JAX package
+  and from ``tests/oracle.py``).  Committed.  Our decoder must decode
+  the C++ bytes to the C++ implementation's exact committed RGB, and
+  our encoder's bytes must equal the C++ encoder's bytes: two
+  implementations agreeing byte-for-byte on 48 fixtures (3 wavelets ×
+  4 qualities × 4 odd/even/tall geometries) rules out a single-oracle
+  misreading of the wire or the table math.
 * ``tests/golden/reference/`` — containers produced by the COMPILED Rust
   reference (generated off-rig; see tools/golden/README.md).  When
   present: our decoder must decode the reference's bytes to the
@@ -63,6 +73,31 @@ def test_self_golden_roundtrip(rec):
     chunk2 = FrameEncoder(quality=rec["quality"], wavelet=rec["wavelet"]).encode(
         rgb, rec["w"], rec["h"], rec["f"])
     assert chunk2.to_bytes() == data, "encoder bytes drifted from golden"
+
+
+_CPP = os.path.join(_HERE, "golden", "cpp")
+
+
+@pytest.mark.skipif(not _load_manifest(_CPP),
+                    reason="C++ cross-implementation goldens not generated")
+@pytest.mark.parametrize("rec", _params(_CPP))
+def test_cpp_golden_interop(rec):
+    """Decode the independent C++ implementation's bytes bit-exactly, and
+    match its encoder byte-for-byte on the same deterministic input."""
+    with open(os.path.join(_CPP, rec["name"] + ".alc"), "rb") as fh:
+        cpp_bytes = fh.read()
+    assert hashlib.sha256(cpp_bytes).hexdigest() == rec["alc_sha256"]
+    with open(os.path.join(_CPP, rec["name"] + ".rgb"), "rb") as fh:
+        cpp_rgb = np.frombuffer(fh.read(), np.uint8)
+    assert hashlib.sha256(cpp_rgb).hexdigest() == rec["rgb_sha256"]
+    chunk = EncodedChunk.from_bytes(cpp_bytes)
+    out = np.asarray(FrameDecoder().decode(chunk), np.uint8)
+    np.testing.assert_array_equal(out, cpp_rgb)
+
+    rgb = golden_rgb(rec["w"], rec["h"], rec["f"]).reshape(-1)
+    ours = FrameEncoder(quality=rec["quality"], wavelet=rec["wavelet"]).encode(
+        rgb, rec["w"], rec["h"], rec["f"]).to_bytes()
+    assert ours == cpp_bytes
 
 
 @pytest.mark.skipif(not _load_manifest(_REF),
