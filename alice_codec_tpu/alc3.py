@@ -109,7 +109,8 @@ _MAGIC3 = b"ALC3"
 #: wavelet.forward_3d_inter), a fixed permutation of the v3 symbol
 #: ordering; v3: sparse planes moved to the block-major layout of
 #: ops/pallas/sparse_kernels.py.
-_VERSION3 = 6  # v6: PROB_BITS 12 → 11 (ops/rans_word.py rationale)
+_VERSION3 = 7  # v6: PROB_BITS 12 → 11; v7: zero-frequency absent symbols
+               # + elided dense-plane bitmaps (ops/rans_word.py rationale)
 #: histogram subsampling stride for ALC3 table seeding (see
 #: pipeline._hist_sample) — the full-plane one-hot histogram was the
 #: single biggest transform-stage item at 1080p (98 ms measured).  The
@@ -172,6 +173,7 @@ def _encode_chunk(rgb, step, dead_zone, *, wavelet_type, padded, s_seg,
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
         levels=levels, hist_stride=HIST_STRIDE, interleaved=True,
     )
+    hists = _covered_hist(hists, symbols)
     p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
         _table_hists(hists, p, s_seg=s_seg, v_seg=v_seg))
@@ -203,6 +205,7 @@ def _encode_chunk_deep(rgb, step, dead_zone, *, wavelet_type, padded,
         rgb, step, dead_zone, wavelet_type=wavelet_type, padded=padded,
         levels=levels, hist_stride=HIST_STRIDE, interleaved=True,
     )
+    hists = _covered_hist(hists, planes)
     p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
         _table_hists(hists, p, s_seg=s_seg, v_seg=v_seg))
@@ -250,6 +253,9 @@ def _encode_batch_core(rgb, step, dead_zone, *, wavelet_type, padded,
         )
     )(rgb)                                    # (B,3,P), (B,3,256)
     p = padded[0] * padded[1] * padded[2]
+    hists = _covered_hist(
+        hists.reshape(b * 3, 256), symbols.reshape(b * 3, p)
+    ).reshape(b, 3, 256)
     flat_hists = _table_hists(
         hists.reshape(b * 3, 256), p, s_seg=s_seg, v_seg=v_seg)
     freqs, cums = jax.vmap(freq_table_device)(flat_hists)
@@ -317,20 +323,22 @@ def _pick_v_blk(nb: int) -> int:
 
 
 #: Per-plane dense/sparse crossover, as a fraction of the plane's total
-#: value rows.  The sparse compact/expand kernels scan every POSITION of
-#: a plane (~1.9 Gpos/s measured at 1080p), while the dense path codes
-#: every position straight through the rANS kernels (~1.07 Genc /
-#: 1.77 Gdec sym/s) with no compact, no expand, and no meaningful bitmap
-#: mass.  Equating the two cost models at 1080p×64 puts the crossover
-#: near 19 % nonzero density; 15 % adds a safety margin for the
-#: bitmap-stream overhead that the dense plane still carries.  A dense
-#: plane stays INSIDE the sparse wire: kcap equals the full dense
-#: capacity, its bitmap sections are all-ones (a legal v6 stream a
-#: generic decoder expands to the identical plane), and its value plane
-#: is the raw symbol plane — so decoders that recognize the kcap
-#: sentinel skip the expand kernel entirely and older/generic decoders
-#: still reconstruct correctly.
-DENSE_ROW_FRAC = float(os.environ.get("ALC_DENSE_FRAC", "0.15"))
+#: value rows.  Round-5 calibration (1080p×64 stage profile): the compact
+#: kernel scans non-skipped positions at ~1.3 Gpos/s and expand is
+#: comparable, while the round-4 fused-LUT entropy kernels code straight
+#: through at ~1.07 Genc / 1.77 Gdec sym/s — so at row densities past a
+#: few percent the bitmap+values detour costs MORE wall-clock than dense
+#: coding unless whole tiles skip (`pl.when` on empty 8-row tiles), and
+#: wire v7 makes dense zeros nearly free in rate too (~0.04 bits/pos at
+#: 10 % density).  The sparse wire still wins on genuinely sparse planes,
+#: where tile skips drop the compact scan cost toward zero and value
+#: segments elide.  5 % is the measured indifference point on the bench
+#: content (ALC_DENSE_FRAC overrides for experiments).  A dense plane
+#: stays INSIDE the sparse wire: kcap equals the full dense capacity
+#: (the decoder's marker — its value section IS the raw symbol plane and
+#: the expand kernel is skipped), and since wire v7 its never-read
+#: all-ones bitmap ships as elided count-0 segments.
+DENSE_ROW_FRAC = float(os.environ.get("ALC_DENSE_FRAC", "0.05"))
 
 
 def _bucket_nv(need_rows: int, s_seg: int, max_nv: int | None = None) -> int:
@@ -362,6 +370,21 @@ def _bucket_nv(need_rows: int, s_seg: int, max_nv: int | None = None) -> int:
     if max_nv is not None:
         nvu = min(nvu, max_nv)
     return nvu
+
+
+def _covered_hist(hists, symbols):
+    """Wire v7 coverage floor for header histograms (see
+    ops/rans_word.freq_table_words): every bin up to the plane's EXACT
+    symbol maximum is lifted to ≥ 1, so a zero bin in the (row-sampled)
+    histogram is a promise the symbol never occurs and the tables can
+    give absent symbols frequency 0 — refunding the min-1 floor's
+    ~12.5 % probability-mass tax at PROB_BITS=11.  The max is one exact
+    device reduction over the plane (XLA fuses it into the producer);
+    ``hists``: (n, 256) uint32, ``symbols``: (n, P) uint8/int32."""
+    mx = jnp.max(symbols.astype(jnp.int32), axis=-1)
+    idx = jnp.arange(256, dtype=jnp.int32)
+    return jnp.where(idx[None, :] <= mx[:, None],
+                     jnp.maximum(hists, jnp.uint32(1)), hists)
 
 
 def _sampled_len(n: int, stride: int = HIST_STRIDE) -> int:
@@ -454,7 +477,9 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b,
     bitmaps = jnp.stack([bm_parts[c] if c in bm_parts
                          else jnp.zeros((pp // 8,), jnp.uint8)
                          for c in range(npv)])
-    bm_hists = jax.vmap(build_histogram)(_hist_sample(bitmaps, HIST_STRIDE))
+    bm_hists = _covered_hist(
+        jax.vmap(build_histogram)(_hist_sample(bitmaps, HIST_STRIDE)),
+        bitmaps)
     # full wire-layout histogram block: real rows for provided planes,
     # synthesized rows for elided ones (an elided plane's true bitmap
     # histogram is all mass at 0; its value plane has no symbols)
@@ -468,8 +493,10 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b,
     for w in range(wire_nc):
         i = pos.get(w)
         if i is not None and i in coded:
-            hist_rows.append(build_histogram(
-                _hist_sample(values[i][None, :], HIST_STRIDE)))
+            hist_rows.append(_covered_hist(
+                build_histogram(
+                    _hist_sample(values[i][None, :], HIST_STRIDE)
+                )[None, :], values[i][None, :])[0])
         else:
             hist_rows.append(zero_v_hist)
     hists = jnp.stack(hist_rows)
@@ -477,19 +504,41 @@ def _encode_chunk_sparse(symbols, ch_rows, *, pp, s_seg, krs, v_b,
     streams, counts = [], []
     nb, mb = _segment_geometry(pp // 8, s_seg, v_b)
     if coded:
-        bm_coded = (bitmaps if len(coded) == npv
-                    else jnp.stack([bitmaps[c] for c in coded]))
-        bmh = jnp.stack([hists[wire_active[c]] for c in coded])
-        bm_thists = _table_hists(bmh, pp // 8, s_seg=s_seg, v_seg=v_b)
-        bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
-        bmseg = bm_coded.astype(jnp.int32)
-        if mb != pp // 8:
-            bmseg = jnp.pad(bmseg, ((0, 0), (0, mb - pp // 8)))
-        streams_b, counts_b = encode_words_pallas(
-            bmseg.reshape(len(coded) * nb, s_seg, NG), bm_freqs, bm_cums,
-            v_seg=v_b)
-        streams.append(streams_b)
-        counts.append(counts_b)
+        # Only the SPARSE planes' bitmaps are entropy-coded.  A dense
+        # plane's bitmap is all-ones BY DEFINITION of its kcap marker
+        # (its value section IS the raw plane), and no decoder in this
+        # wire version reads it — so its nb wire segments ship ELIDED
+        # (count 0, zero bytes) instead of paying ~0.1-0.2 bits/position
+        # to entropy-code a constant.  The all-ones histogram still rides
+        # the header as the plane's true bitmap histogram.
+        w_rows_b = stream_rows(s_seg)
+        if sp:
+            bm_coded = (bitmaps if len(sp) == npv
+                        else jnp.stack([bitmaps[c] for c in sp]))
+            bmh = jnp.stack([hists[wire_active[c]] for c in sp])
+            bm_thists = _table_hists(bmh, pp // 8, s_seg=s_seg, v_seg=v_b)
+            bm_freqs, bm_cums = jax.vmap(freq_table_device)(bm_thists)
+            bmseg = bm_coded.astype(jnp.int32)
+            if mb != pp // 8:
+                bmseg = jnp.pad(bmseg, ((0, 0), (0, mb - pp // 8)))
+            streams_sp, counts_sp = encode_words_pallas(
+                bmseg.reshape(len(sp) * nb, s_seg, NG), bm_freqs, bm_cums,
+                v_seg=v_b)
+        if sp and len(sp) == len(coded):
+            streams.append(streams_sp)
+            counts.append(counts_sp)
+        else:
+            # splice elided (zero) rows for dense planes, coded order
+            zrow = jnp.zeros((nb, w_rows_b, NG), jnp.int32)
+            zcnt = jnp.zeros((nb,), jnp.int32)
+            for c in coded:
+                if c in sp:
+                    j = sp.index(c)
+                    streams.append(streams_sp[j * nb : (j + 1) * nb])
+                    counts.append(counts_sp[j * nb : (j + 1) * nb])
+                else:
+                    streams.append(zrow)
+                    counts.append(zcnt)
     # one dispatch per value plane (value planes are coded at exactly
     # their own kcap_c symbols, each with its own table)
     for c in coded:
@@ -715,6 +764,7 @@ def _encode_chunk_rdo(coeffs, steps8, dzs8, *, padded, s_seg, v_seg):
     symbols, hists = encode_bands_device(
         coeffs, steps8, dzs8, padded=padded, hist_stride=HIST_STRIDE,
         interleaved=True)
+    hists = _covered_hist(hists, symbols)
     p = padded[0] * padded[1] * padded[2]
     freqs, cums = jax.vmap(freq_table_device)(
         _table_hists(hists, p, s_seg=s_seg, v_seg=v_seg))

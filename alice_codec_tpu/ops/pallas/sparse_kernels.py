@@ -489,7 +489,7 @@ def compact_pallas(
     p: int,
     kr,
     br: int = BLOCK_ROWS,
-    v_blk: int = DEFAULT_V_BLK,
+    v_blk: int | None = None,
     unroll: int = DEFAULT_TILE_UNROLL,
     skip_empty: bool = True,
     algo: str = "dot",
@@ -520,6 +520,10 @@ def compact_pallas(
     krs = _norm_krs(kr, nc)
     pr, nb = block_geometry(p, br)
     bm8 = br // TILE_ROWS
+    if v_blk is None:  # largest dividing factor <= DEFAULT_V_BLK
+        v_blk = DEFAULT_V_BLK
+        while nb % v_blk:
+            v_blk //= 2
     if nb % v_blk:
         raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
     if (v_blk * br // 8) % 8:
@@ -698,7 +702,7 @@ def expand_pallas(
     p: int,
     kr,
     br: int = BLOCK_ROWS,
-    v_blk: int = DEFAULT_V_BLK,
+    v_blk: int | None = None,
     unroll: int = DEFAULT_TILE_UNROLL,
     skip_empty: bool = True,
     interpret: bool = False,
@@ -713,6 +717,10 @@ def expand_pallas(
     krs = _norm_krs(kr, nc)
     pr, nb = block_geometry(p, br)
     bm8 = br // TILE_ROWS
+    if v_blk is None:  # largest dividing factor <= DEFAULT_V_BLK
+        v_blk = DEFAULT_V_BLK
+        while nb % v_blk:
+            v_blk //= 2
     if nb % v_blk:
         raise ValueError(f"blocks per channel ({nb}) % v_blk ({v_blk})")
     if (v_blk * br // 8) % 8:

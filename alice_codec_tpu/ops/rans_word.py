@@ -101,17 +101,33 @@ _EMIT_SHIFT = 32 - PROB_BITS
 def freq_table_words(hist) -> tuple[np.ndarray, np.ndarray]:
     """(256,) histogram → (freqs, cums) int32 at the ALC3 wire's
     PROB_SCALE — the NumPy twin of ops/tables_device.freq_table_device
-    (same min-1, drain-from-first-argmax sanitize, last-symbol deficit
-    absorption, and uniform all-zero fallback), for host-side spec
-    decodes of ALC3 payloads.  NOTE: ops/rans.FrequencyTable builds
-    12-bit `.alc`-compat tables — those do NOT decode ALC3 wire v6."""
+    (same zero-for-absent/min-1-for-present rule, drain-from-first-argmax
+    sanitize, argmax deficit absorption, and uniform all-zero fallback),
+    for host-side spec decodes of ALC3 payloads.  NOTE:
+    ops/rans.FrequencyTable builds 12-bit `.alc`-compat tables — those do
+    NOT decode ALC3 wire.
+
+    **Wire v7 semantics — zero frequency for absent symbols.**  Bins with
+    histogram count 0 get frequency 0 (not the `.alc` tables' minimum 1):
+    a zero bin in an ALC3 header histogram is a PROMISE that the symbol
+    never occurs in the plane (encoders guarantee it by flooring the
+    sampled histogram to ≥1 for every bin up to the plane's exact symbol
+    maximum — see alc3._covered_hist).  The `.alc` min-1 rule exists so
+    any histogram can code any stream; ALC3 controls both sides, and at
+    PROB_BITS=11 the min-1 floor costs up to 255/2048 ≈ 12.5 % of the
+    probability mass on sparse-alphabet planes (+0.19 bits/symbol
+    measured at q=90) — the v7 rule refunds it.  The rounding deficit
+    goes to the argmax bin (always a present symbol), not bin 255, which
+    may be absent."""
     h = np.asarray(hist, np.uint64)
     total = int(h.sum())
     if total == 0:
         freqs = np.full(256, PROB_SCALE // 256, np.int32)
         cums = (np.arange(256, dtype=np.int32) * (PROB_SCALE // 256))
         return freqs, cums
-    freqs = np.maximum((h * PROB_SCALE) // total, 1).astype(np.int64)
+    freqs = np.where(
+        h > 0, np.maximum((h * PROB_SCALE) // total, 1), 0
+    ).astype(np.int64)
     excess = int(freqs.sum()) - PROB_SCALE
     while excess > 0:
         imax = int(np.argmax(freqs))
@@ -120,8 +136,8 @@ def freq_table_words(hist) -> tuple[np.ndarray, np.ndarray]:
             break
         freqs[imax] -= take
         excess -= take
+    freqs[int(np.argmax(freqs))] += PROB_SCALE - int(freqs.sum())
     cums = np.concatenate([[0], np.cumsum(freqs)[:-1]]).astype(np.int32)
-    freqs[-1] += PROB_SCALE - int(freqs.sum())
     return freqs.astype(np.int32), cums
 
 
@@ -188,6 +204,18 @@ def decode_segment_words(
     meaningful).  Returns ``(symbols (s_seg, ng) uint8, final_cursor)``.
     ``final_cursor == 0`` for a valid stream (the decoder consumed every
     refill word walking back to the head)."""
+    out, pos, _states = _decode_segment_core(
+        stream, count, s_seg, ng, freqs, cums, cum_to_sym)
+    return out, pos
+
+
+def _decode_segment_core(
+    stream, count, s_seg, ng, freqs, cums, cum_to_sym
+) -> tuple[np.ndarray, int, np.ndarray]:
+    """decode_segment_words plus the final per-lane states — a valid
+    stream ends with every lane back at WORD_L (the full final-state
+    invariant; the cursor alone can coincidentally land on 0 for a
+    corrupted stream)."""
     stream = np.asarray(stream, np.uint16)
     freqs = np.asarray(freqs).astype(np.uint32)
     cums = np.asarray(cums).astype(np.uint32)
@@ -217,7 +245,7 @@ def decode_segment_words(
             )
         x[need] = (x[need] << 16) | refill
         pos -= k
-    return out, pos
+    return out, pos, x
 
 
 def _pad_to_segments(symbols: np.ndarray, s_seg: int, ng: int) -> np.ndarray:
@@ -238,8 +266,10 @@ def encode_channel_words(
     streams concatenated in segment order (no padding between segments).
 
     The symbol stream is zero-padded up to a whole number of segments
-    (decoders slice back to the real symbol count; zero symbols always
-    exist in a sanitized table).
+    (decoders slice back to the real symbol count).  NOTE (wire v7):
+    when padding occurs in a non-elided segment, the caller's table must
+    keep bin 0 nonzero — ALC3 guarantees it by adding the padding mass
+    to bin 0 of the table histogram (alc3._table_hists) on both sides.
 
     Returns ``(payload_bytes, word_counts)`` where ``word_counts[s]`` is
     segment s's stream length in u16 words.
@@ -288,12 +318,16 @@ def decode_channel_words(
         if count == 0:  # elided all-zero segment (see encode_channel_words)
             out[s] = 0
             continue
-        syms, cursor = decode_segment_words(
+        syms, cursor, states = _decode_segment_core(
             data[off : off + count], count, s_seg, ng, freqs, cums, cum_to_sym
         )
         if validate and cursor != 0:
             raise ValueError(
                 f"segment {s}: {cursor} refill words unconsumed — corrupt stream"
+            )
+        if validate and (states != WORD_L).any():
+            raise ValueError(
+                f"segment {s}: final states off WORD_L — corrupt stream"
             )
         out[s] = syms
         off += count

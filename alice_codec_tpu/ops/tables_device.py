@@ -52,15 +52,21 @@ def _div_scale_floor(h: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
 def freq_table_device(hist: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(256,) histogram → (freqs, cums) int32, each (256,).
 
-    Matches ``FrequencyTable.from_histogram(hist, sanitize=True)`` exactly:
-    zero-count symbols get frequency 1, oversubscription is drained from
-    the current argmax, cums are the exclusive prefix sum, and the last
-    symbol absorbs any remaining rounding deficit.  An all-zero histogram
-    yields the uniform table (all 16s for 256 symbols).
+    Matches ``ops.rans_word.freq_table_words`` exactly (ALC3 wire v7):
+    zero-count symbols get frequency 0 (absent-symbol promise — see the
+    spec's docstring), present symbols at least 1, oversubscription is
+    drained from the current argmax, the argmax absorbs any remaining
+    rounding deficit, and cums are the exclusive prefix sum.  An all-zero
+    histogram yields the uniform table (all 8s for 256 symbols at
+    PROB_BITS=11).
     """
     h = hist.astype(jnp.uint32)
     total = h.sum(dtype=jnp.uint32)
-    freqs = jnp.maximum(_div_scale_floor(h, jnp.maximum(total, 1)), 1)
+    freqs = jnp.where(
+        h > 0,
+        jnp.maximum(_div_scale_floor(h, jnp.maximum(total, 1)), 1),
+        0,
+    )
 
     def drain(carry):
         f, excess = carry
@@ -76,9 +82,9 @@ def freq_table_device(hist: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     excess = freqs.sum() - PROB_SCALE
     freqs, _ = jax.lax.while_loop(cond, drain, (freqs, excess))
 
-    cums = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(freqs)[:-1]])
     deficit = PROB_SCALE - freqs.sum()
-    freqs = freqs.at[-1].add(deficit)
+    freqs = freqs.at[jnp.argmax(freqs)].add(deficit)
+    cums = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(freqs)[:-1]])
 
     uniform = jnp.full_like(freqs, PROB_SCALE // 256)
     uniform_cums = jnp.arange(256, dtype=jnp.int32) * (PROB_SCALE // 256)

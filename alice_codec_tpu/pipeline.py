@@ -137,9 +137,12 @@ def _hist_sample(sym2d, stride: int):
     """Row-subsample a (nc, N) symbol plane for histogram building: the
     first 128-lane row of every ``stride`` rows (one strided slice — no
     gather).  The histogram seeds the rANS tables, which ride the wire,
-    so ANY consistent histogram is correct (freq_table_device gives every
-    symbol freq ≥ 1); a 1/stride sample costs <0.1% rate at production
-    sizes and cuts the dominant one-hot histogram pass by ``stride``×.
+    so ANY consistent histogram is correct as long as every symbol that
+    occurs keeps nonzero mass — ALC3 callers floor the sampled histogram
+    up to the plane's exact maximum (alc3._covered_hist) so the wire-v7
+    tables may zero absent symbols; a 1/stride sample costs <0.1% rate at
+    production sizes and cuts the dominant one-hot histogram pass by
+    ``stride``×.
     Planes smaller than one stride block are returned whole."""
     if stride <= 1:
         return sym2d

@@ -31,7 +31,24 @@ import time
 import numpy as np
 
 # Baseline chunks/sec from the reference's stated targets (BASELINE.md).
+# Kept as the vs_baseline denominator for cross-round continuity even
+# though the targets are aspirational: the reference pipeline MEASURED
+# single-core on this rig's CPU with identical content does 0.0573
+# chunks/s (BASELINE_MEASURED.json; alice_codec_tpu/native/baseline_ref.cpp)
+# — the detail field vs_measured_single_core reports that honest ratio.
 _BASELINE_CHUNKS_PER_SEC = 1.0 / (64 / 100.0 + 64 / 500.0)
+
+
+def _measured_baseline(key="north_star_serial"):
+    """Measured single-core chunks/s from BASELINE_MEASURED.json (or None)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as fh:
+            return float(
+                json.load(fh)["results"][key]["chunks_per_sec"])
+    except Exception:
+        return None
 
 
 def _test_chunk(t, h, w, seed=0):
@@ -181,6 +198,7 @@ def north_star():
     mse = float(jnp.mean(
         (out.astype(jnp.float32) - rgb.astype(jnp.float32)) ** 2))
     chunks_per_sec = n_iters / elapsed
+    measured = _measured_baseline()
     _emit(
         "1080p64_chunks_per_sec_encode_decode",
         chunks_per_sec, "chunks/s/chip",
@@ -191,6 +209,9 @@ def north_star():
         compression_ratio=round(rgb.size / max(comp, 1), 2),
         psnr_db=round(10 * np.log10(255.0**2 / mse), 2) if mse else None,
         baseline_chunks_per_sec=round(_BASELINE_CHUNKS_PER_SEC, 4),
+        measured_single_core_chunks_per_sec=measured,
+        vs_measured_single_core=(
+            round(chunks_per_sec / measured, 2) if measured else None),
         codec="alc3",
         device=str(jax.devices()[0]),
     )

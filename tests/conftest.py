@@ -27,7 +27,9 @@ if "jax" in sys.modules:
     jax.config.update("jax_num_cpu_devices", 8)
     jax.extend.backend.clear_backends()
 
-# Persistent XLA compilation cache: repeat test runs skip recompiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/alc_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# No persistent compilation cache for the CPU test profile: the cache
+# WRITE (compilation_cache.put_executable_and_time) segfaults the
+# process on some CPU executables under jax 0.9.0 — observed
+# deterministically on the alc3 sparse phase-2 program.  Benches keep
+# their own cache (bench.py main); the TPU backend serializes fine.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)

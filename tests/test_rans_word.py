@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from alice_codec_tpu.ops.rans_word import (
+    PROB_SCALE,
     WordTable,
     WORD_L,
     decode_channel_words,
@@ -70,6 +71,10 @@ def test_channel_roundtrip_with_padding(n):
     rng = np.random.default_rng(n)
     syms = rng.integers(0, 200, size=n, dtype=np.uint8)
     hist = np.bincount(syms, minlength=256).astype(np.uint32)
+    # wire v7: padding zeros coded in non-elided segments must keep mass
+    # in bin 0 (zero-frequency absent symbols — see encode_channel_words)
+    seg = 32 * 16
+    hist[0] += (-(-n // seg) * seg - n) if n else 0
     t = WordTable.from_histogram(hist)
     payload, counts = encode_channel_words(syms, t.freqs, t.cums, s_seg=32, ng=16)
     out = decode_channel_words(
@@ -94,16 +99,14 @@ def test_segments_are_independent():
     np.testing.assert_array_equal(out.reshape(-1), syms[512:1024])
 
 
-def test_single_symbol_table_f4096():
-    """f=4096 (single-symbol table) must not overflow the emit threshold.
-
-    256-bin sanitized tables never produce f=4096 (zero bins get freq 1),
-    so build the degenerate table directly.
-    """
+def test_single_symbol_table_full_scale():
+    """f=PROB_SCALE (single-symbol table) must not overflow the emit
+    threshold — wire v7 produces exactly this table for a constant
+    plane (absent symbols carry frequency 0)."""
     freqs = np.zeros(256, np.uint16)
-    freqs[0] = 4096
+    freqs[0] = PROB_SCALE
     cums = np.zeros(256, np.uint16)
-    lut = np.zeros(4096, np.uint8)
+    lut = np.zeros(PROB_SCALE, np.uint8)
     syms = np.zeros((16, 8), np.uint8)
     stream = encode_segment_words(syms, freqs, cums)
     out, cursor = decode_segment_words(
