@@ -1751,7 +1751,10 @@ class Alc3Codec:
                     if hdr.num_symbols == 0:
                         # ELIDED plane's bitmap section — no streams;
                         # consistency with the value section is checked
-                        # when that section parses (kcap must be 0)
+                        # when that section parses (kcap must be 0).
+                        # RDO band steps still ride the first 3 sections
+                        # even when elided (the serializer writes them
+                        # unconditionally for ch < 3).
                         bm_elided.append(True)
                         if hdr.compressed_len:
                             raise InvalidBitstream(
@@ -1760,6 +1763,18 @@ class Alc3Codec:
                         hists[ch] = hdr.histogram
                         step = hdr.quant_step
                         counts_list.append(np.zeros((0,), np.int64))
+                        if band_steps is not None and ch < 3:
+                            if off + 32 > len(data):
+                                raise InvalidBitstream(
+                                    "truncated ALC3 header section"
+                                )
+                            band_steps[ch] = np.frombuffer(
+                                data, "<i4", 8, off)
+                            if (band_steps[ch] < 1).any():
+                                raise InvalidBitstream(
+                                    "non-positive RDO band step"
+                                )
+                            off += 32
                         continue
                     bm_elided.append(False)
                     plane_sym = _sparse_pp(p) // 8
