@@ -33,3 +33,24 @@ if "jax" in sys.modules:
 # deterministically on the alc3 sparse phase-2 program.  Benches keep
 # their own cache (bench.py main); the TPU backend serializes fine.
 os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+
+import pytest  # noqa: E402
+
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bounded_executable_accumulation():
+    """Clear jit caches every few tests: jax 0.9.0's CPU backend
+    segfaults inside backend_compile_and_load once a process has
+    accumulated ~20 compile-heavy tests' worth of live executables
+    (reproduced twice at the same point of tests/test_alc3.py, different
+    tests each time, cache on or off).  Dropping executable references
+    periodically keeps the arena bounded; each test file's shapes are
+    mostly unique, so the recompile cost is small."""
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % 8 == 0:
+        import jax
+
+        jax.clear_caches()
